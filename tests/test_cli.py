@@ -1,0 +1,59 @@
+"""CLI behavior: flags, defaults, validation (arguments.rs parity)."""
+
+import numpy as np
+import pytest
+
+from jpeg_encoder_tpu import cli
+from jpeg_encoder_tpu.io import bmp
+
+
+def test_default_output_path():
+    assert cli.default_output_path("photo.bmp") == "photo.jpeg"
+    assert cli.default_output_path("/a/b/c.bmp") == "/a/b/c.jpeg"
+
+
+def test_rejects_non_bmp_input(capsys):
+    assert cli.main(["-i", "photo.png"]) == 2
+    assert "must be a .bmp" in capsys.readouterr().err
+
+
+def test_rejects_bad_ratio(tmp_path, capsys, rng):
+    path = tmp_path / "x.bmp"
+    bmp.write(path, rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8))
+    assert cli.main(["-i", str(path), "-s", "4:1:1"]) == 2
+    assert "ratio" in capsys.readouterr().err
+    assert cli.main(["-i", str(path), "-s", "nonsense"]) == 2
+
+
+def test_rejects_bad_algorithm(tmp_path, rng):
+    path = tmp_path / "x.bmp"
+    bmp.write(path, rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8))
+    with pytest.raises(SystemExit):
+        cli.main(["-i", str(path), "-d", "quantum-dct"])
+
+
+def test_single_image_encode(tmp_path, rng, capsys):
+    rgb = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    path = tmp_path / "img.bmp"
+    bmp.write(path, rgb)
+    assert cli.main(["-i", str(path), "-s", "4:2:0", "--timing"]) == 0
+    out = tmp_path / "img.jpeg"
+    assert out.exists()
+    data = out.read_bytes()
+    assert data.startswith(b"\xff\xd8") and data.endswith(b"\xff\xd9")
+    stdout = capsys.readouterr().out
+    assert "megapixels_per_second" in stdout
+
+
+def test_batch_glob_encode(tmp_path, rng):
+    for i in range(3):
+        bmp.write(
+            tmp_path / f"img{i}.bmp",
+            rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8),
+        )
+    out_dir = tmp_path / "out"
+    assert cli.main(
+        ["-i", str(tmp_path / "*.bmp"), "-o", str(out_dir)]
+    ) == 0
+    for i in range(3):
+        assert (out_dir / f"img{i}.jpeg").exists()

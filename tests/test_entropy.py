@@ -1,0 +1,151 @@
+"""Device entropy coding vs the oracle: bit-exact payloads."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from jpeg_encoder_tpu import oracle
+from jpeg_encoder_tpu.config import EncoderConfig
+from jpeg_encoder_tpu.ops import entropy
+
+
+def _device_payload(y, cb, cr, geom):
+    capacity = ((geom.num_scan_entries * 220) + 3) // 4 * 4
+    payload, bits = entropy.encode_scan(
+        jnp.asarray(y.reshape(-1, 64)),
+        jnp.asarray(cb.reshape(-1, 64)),
+        jnp.asarray(cr.reshape(-1, 64)),
+        geom,
+        capacity,
+    )
+    bits = int(bits)
+    return np.asarray(payload)[: (bits + 7) // 8].tobytes(), bits
+
+
+def _oracle_payload(y, cb, cr, geom):
+    return oracle.entropy_encode(
+        y.reshape(-1, 8, 8), cb.reshape(-1, 8, 8), cr.reshape(-1, 8, 8), geom
+    )
+
+
+def _check(y, cb, cr, geom):
+    got, got_bits = _device_payload(y, cb, cr, geom)
+    want, want_bits = _oracle_payload(y, cb, cr, geom)
+    assert got_bits == want_bits
+    assert got == want
+
+
+def test_all_zero_blocks():
+    geom = EncoderConfig(subsampling_ratio=(4, 4, 4)).geometry(16, 16)
+    z = np.zeros((4, 64), np.int16)
+    _check(z, z, z, geom)
+
+
+def test_single_block_known_values():
+    geom = EncoderConfig(subsampling_ratio=(4, 4, 4)).geometry(8, 8)
+    y = np.zeros((1, 64), np.int16)
+    y[0, :8] = [-26, -3, 1, -2, 0, 0, 5, 0]  # natural-order row 0
+    c = np.zeros((1, 64), np.int16)
+    _check(y, c, c, geom)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("ratio", [(4, 4, 4), (4, 2, 2), (4, 2, 0)])
+def test_random_small_coefficients(ratio, seed):
+    """Dense small coefficients: exercises DC chains and short runs."""
+    rng = np.random.default_rng(seed)
+    geom = EncoderConfig(subsampling_ratio=ratio).geometry(32, 48)
+    y = rng.integers(-4, 5, size=(geom.num_luma_blocks, 64)).astype(np.int16)
+    cb = rng.integers(-4, 5, size=(geom.num_chroma_blocks, 64)).astype(np.int16)
+    cr = rng.integers(-4, 5, size=(geom.num_chroma_blocks, 64)).astype(np.int16)
+    _check(y, cb, cr, geom)
+
+
+@pytest.mark.parametrize("ratio", [(4, 4, 4), (4, 2, 2), (4, 2, 0)])
+def test_sparse_coefficients_long_runs(ratio):
+    """Sparse coefficients: exercises ZRL insertion (runs >= 16, 32, 48)."""
+    rng = np.random.default_rng(7)
+    geom = EncoderConfig(subsampling_ratio=ratio).geometry(40, 24)
+    def sparse(n):
+        coeffs = np.zeros((n, 64), np.int16)
+        mask = rng.random((n, 64)) < 0.04
+        coeffs[mask] = rng.integers(-100, 101, size=int(mask.sum()))
+        return coeffs
+    _check(sparse(geom.num_luma_blocks),
+           sparse(geom.num_chroma_blocks),
+           sparse(geom.num_chroma_blocks), geom)
+
+
+def test_exactly_16_zero_run_then_nonzero():
+    """Z == 16 must emit one ZRL then a zero-run-0 symbol."""
+    geom = EncoderConfig(subsampling_ratio=(4, 4, 4)).geometry(8, 8)
+    from jpeg_encoder_tpu import tables
+    y = np.zeros((1, 64), np.int16)
+    zz_coeffs = np.zeros(64, np.int16)
+    zz_coeffs[17] = 3  # zigzag position 17: preceded by 16 zeros
+    y[0, tables.ZIGZAG_ORDER] = zz_coeffs
+    c = np.zeros((1, 64), np.int16)
+    _check(y, c, c, geom)
+
+
+def test_trailing_run_of_exactly_48_zeros_no_zrl():
+    """Trailing zeros emit only EOB, never ZRL."""
+    geom = EncoderConfig(subsampling_ratio=(4, 4, 4)).geometry(8, 8)
+    from jpeg_encoder_tpu import tables
+    y = np.zeros((1, 64), np.int16)
+    zz_coeffs = np.zeros(64, np.int16)
+    zz_coeffs[15] = -7
+    y[0, tables.ZIGZAG_ORDER] = zz_coeffs
+    c = np.zeros((1, 64), np.int16)
+    _check(y, c, c, geom)
+
+
+def test_last_zigzag_coefficient_nonzero_no_eob():
+    geom = EncoderConfig(subsampling_ratio=(4, 4, 4)).geometry(8, 8)
+    from jpeg_encoder_tpu import tables
+    y = np.zeros((1, 64), np.int16)
+    zz_coeffs = np.zeros(64, np.int16)
+    zz_coeffs[63] = 1  # run of 62 zeros (3 ZRLs + run 14), then no EOB
+    y[0, tables.ZIGZAG_ORDER] = zz_coeffs
+    c = np.zeros((1, 64), np.int16)
+    _check(y, c, c, geom)
+
+
+def test_negative_dc_and_amplitudes():
+    geom = EncoderConfig(subsampling_ratio=(4, 4, 4)).geometry(16, 8)
+    y = np.zeros((2, 64), np.int16)
+    y[0, 0] = -1024  # DC category 11 boundary
+    y[1, 0] = 1023   # diff = 2047, category 11
+    c = np.zeros((2, 64), np.int16)
+    _check(y, c, c, geom)
+
+
+def test_quirk_width_17_mcu_alignment():
+    """width % 16 == 1 at 4:2:0: luma superblock grid > chroma grid."""
+    rng = np.random.default_rng(3)
+    geom = EncoderConfig(subsampling_ratio=(4, 2, 0)).geometry(17, 16)
+    y = rng.integers(-6, 7, size=(geom.num_luma_blocks, 64)).astype(np.int16)
+    cb = rng.integers(-6, 7, size=(geom.num_chroma_blocks, 64)).astype(np.int16)
+    cr = rng.integers(-6, 7, size=(geom.num_chroma_blocks, 64)).astype(np.int16)
+    _check(y, cb, cr, geom)
+
+
+def test_pack_bits_word_boundary_spans():
+    """Codes that straddle u32 word boundaries pack correctly."""
+    # 5 slots of 27 bits: offsets 0, 27, 54, 81, 108 — spans everywhere.
+    bits = jnp.asarray(
+        np.array([0x7FFFFFF, 0x5555555, 0x2AAAAAA, 0x7FFFFFF, 0x1234567],
+                 dtype=np.uint32)
+    )
+    lens = jnp.asarray(np.full(5, 27, dtype=np.int32))
+    payload, total = entropy.pack_bits(bits, lens, 32)
+    assert int(total) == 135
+    got = np.asarray(payload)
+    stream = "".join(
+        format(v, "027b")
+        for v in (0x7FFFFFF, 0x5555555, 0x2AAAAAA, 0x7FFFFFF, 0x1234567)
+    )
+    expected = np.frombuffer(
+        int(stream.ljust(32 * 8, "0"), 2).to_bytes(32, "big"), dtype=np.uint8
+    )
+    assert np.array_equal(got, expected)

@@ -1,0 +1,121 @@
+"""End-to-end pipeline: full JFIF files, oracle parity, independent decode."""
+
+import io as _io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from jpeg_encoder_tpu import oracle, pipeline
+from jpeg_encoder_tpu.config import DctAlgorithm, EncoderConfig
+from jpeg_encoder_tpu.io import bmp, jfif
+
+
+def _gradient_image(width, height):
+    """Smooth synthetic content (photographic-ish, compresses well)."""
+    x = np.linspace(0, 255, width)[None, :]
+    y = np.linspace(0, 255, height)[:, None]
+    r = (x + y) / 2
+    g = np.abs(x - y)
+    b = 255 - r
+    return np.stack(np.broadcast_arrays(r, g, b), axis=-1).astype(np.uint8)
+
+
+@pytest.mark.parametrize("ratio", [(4, 4, 4), (4, 2, 2), (4, 2, 0)])
+@pytest.mark.parametrize(
+    "algorithm", [DctAlgorithm.REAL_DCT, DctAlgorithm.BIN_DCT]
+)
+def test_file_bytes_match_oracle(ratio, algorithm, rng):
+    """The device pipeline's complete file must equal the golden model's."""
+    rgb = rng.integers(0, 256, size=(24, 40, 3), dtype=np.uint8)
+    config = EncoderConfig(subsampling_ratio=ratio, dct_algorithm=algorithm)
+    device = pipeline.encode_array(rgb, config)
+    golden = oracle.encode_oracle(rgb, config)
+    golden_file = jfif.assemble(golden.geom, golden.entropy_bytes)
+    assert device.bit_length == golden.bit_length
+    assert device.file_bytes == golden_file
+
+
+@pytest.mark.parametrize("size", [(8, 8), (17, 16), (40, 24), (31, 9)])
+def test_file_bytes_match_oracle_odd_sizes(size, rng):
+    width, height = size
+    rgb = rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+    config = EncoderConfig(subsampling_ratio=(4, 2, 0))
+    device = pipeline.encode_array(rgb, config)
+    golden = oracle.encode_oracle(rgb, config)
+    assert device.file_bytes == jfif.assemble(golden.geom, golden.entropy_bytes)
+
+
+def test_coefficients_match_oracle(rng):
+    rgb = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    config = EncoderConfig(subsampling_ratio=(4, 2, 0))
+    _, (y_q, cb_q, cr_q) = pipeline.encode_array(rgb, config, return_coeffs=True)
+    golden = oracle.encode_oracle(rgb, config)
+    assert np.array_equal(y_q.reshape(-1, 8, 8), golden.y_coeffs)
+    assert np.array_equal(cb_q.reshape(-1, 8, 8), golden.cb_coeffs)
+    assert np.array_equal(cr_q.reshape(-1, 8, 8), golden.cr_coeffs)
+
+
+@pytest.mark.parametrize("ratio", [(4, 4, 4), (4, 2, 2), (4, 2, 0)])
+def test_decode_psnr_smooth_content(ratio):
+    """Independent decoder round-trip: PSNR must be healthy for smooth input."""
+    rgb = _gradient_image(64, 48)
+    config = EncoderConfig(subsampling_ratio=ratio)
+    result = pipeline.encode_array(rgb, config)
+    decoded = np.asarray(Image.open(_io.BytesIO(result.file_bytes)).convert("RGB"))
+    assert decoded.shape == rgb.shape
+    mse = np.mean((decoded.astype(np.float64) - rgb.astype(np.float64)) ** 2)
+    psnr = 10 * np.log10(255.0**2 / max(mse, 1e-12))
+    assert psnr > 30.0, f"PSNR {psnr:.2f} dB too low for smooth content"
+
+
+def test_compression_actually_compresses():
+    rgb = _gradient_image(128, 96)
+    result = pipeline.encode_array(rgb, EncoderConfig())
+    raw_bytes = 128 * 96 * 3
+    assert len(result.file_bytes) < raw_bytes // 4
+
+
+def test_encode_file_bmp_roundtrip(tmp_path, rng):
+    rgb = rng.integers(0, 256, size=(24, 33, 3), dtype=np.uint8)
+    bmp_path = tmp_path / "input.bmp"
+    out_path = tmp_path / "output.jpeg"
+    bmp.write(bmp_path, rgb)
+    assert np.array_equal(bmp.read(bmp_path), rgb)
+    result = pipeline.encode_file(bmp_path, out_path, EncoderConfig())
+    data = out_path.read_bytes()
+    assert data == result.file_bytes
+    img = Image.open(_io.BytesIO(data))
+    img.load()
+    assert img.size == (33, 24)
+
+
+def test_pil_decodes_our_bmp_writer(tmp_path, rng):
+    """Our BMP fixtures must be readable by an independent implementation."""
+    rgb = rng.integers(0, 256, size=(21, 13, 3), dtype=np.uint8)
+    path = tmp_path / "x.bmp"
+    bmp.write(path, rgb)
+    via_pil = np.asarray(Image.open(path).convert("RGB"))
+    assert np.array_equal(via_pil, rgb)
+
+
+def test_ff_stuffing():
+    payload = np.array([0x12, 0xFF, 0x00, 0xFF, 0xFF, 0x34], dtype=np.uint8)
+    assert jfif.stuff_bytes(payload) == bytes(
+        [0x12, 0xFF, 0x00, 0x00, 0xFF, 0x00, 0xFF, 0x00, 0x34]
+    )
+    clean = np.array([1, 2, 3], dtype=np.uint8)
+    assert jfif.stuff_bytes(clean) == bytes([1, 2, 3])
+
+
+def test_header_structure():
+    geom = EncoderConfig(subsampling_ratio=(4, 2, 0)).geometry(100, 50)
+    header = jfif.header_bytes(geom)
+    assert header.startswith(b"\xff\xd8\xff\xe0")
+    # SOF0 carries height then width, big-endian, and Y sampling 0x22.
+    sof = header[header.index(b"\xff\xc0"):]
+    assert sof[5:7] == (50).to_bytes(2, "big")
+    assert sof[7:9] == (100).to_bytes(2, "big")
+    assert sof[11] == 0x22
+    # Ends with the SOS header, spectral selection 0..63.
+    assert header.endswith(bytes([0, 63, 0]))
