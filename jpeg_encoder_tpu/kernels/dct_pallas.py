@@ -1,0 +1,204 @@
+"""Fused Pallas kernels: level shift + DCT + quantize + zigzag, one VMEM pass.
+
+The block batch lives in HBM as (N, 64); each grid step streams a
+(TILE, 64) tile through VMEM and writes zigzag-ordered quantized
+coefficients — level shift, transform, quantization division, truncation and
+the zigzag permutation all fused so the tile is touched exactly once.
+
+RealDCT kernel: the per-step cosine factors are baked into two (64, 64)
+constant matrices whose *columns are pre-permuted into zigzag order*, so the
+output comes out zigzag-ordered for free and the kernel body is a pure
+VPU multiply-accumulate chain with the reference's exact f32 association
+order (bit-identical coefficients, like ops/dct.real_dct_quant_ordered).
+
+binDCT kernel: the 8-point lifting network runs on contiguous 8-column
+groups (the block's rows); the row-direction pass reuses the same code on a
+transposed-within-block lane permutation. Integer-only, bit-identical to
+the reference's un-descaled binDCT-C.
+
+Both kernels run under interpret mode on CPU for tests; pipeline.py selects
+them via EncoderConfig.use_pallas.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from jpeg_encoder_tpu import tables
+from jpeg_encoder_tpu.ops.dct import dct_basis_f32
+
+_F32 = np.float32
+TILE = 512  # blocks per grid step: (512, 64) f32 tiles, ~128 KiB each
+
+
+@functools.cache
+def _realdct_constants(quant_key: str) -> tuple[np.ndarray, ...]:
+    """Per-step factor rows + scale/quant rows, zigzag-permuted columns.
+
+    a_steps[k, zz(uv)] = basis[u, x_k] and b_steps[k, zz(uv)] = basis[v, y_k]
+    for step k = x_k * 8 + y_k, so the kernel's accumulator is directly in
+    zigzag order. scale = (0.25 * alpha_u) * alpha_v, quant in f32.
+    """
+    quant = tables.Y_QUANT_TABLE if quant_key == "y" else tables.C_QUANT_TABLE
+    basis = dct_basis_f32()
+    zz = tables.ZIGZAG_ORDER
+    u_of = (np.arange(64) // 8)[zz]  # output column -> u
+    v_of = (np.arange(64) % 8)[zz]
+    x_of = np.arange(64) // 8  # step -> x
+    y_of = np.arange(64) % 8
+    a_steps = basis[u_of[None, :], x_of[:, None]].astype(_F32)  # (step, col)
+    b_steps = basis[v_of[None, :], y_of[:, None]].astype(_F32)
+    inv_sqrt2 = _F32(1.0) / _F32(np.sqrt(2.0))
+    alpha = np.where(np.arange(8) == 0, inv_sqrt2, _F32(1.0)).astype(_F32)
+    scale = ((_F32(0.25) * alpha[u_of]) * alpha[v_of]).astype(_F32)
+    quant_zz = quant.reshape(64)[zz].astype(_F32)
+    return a_steps, b_steps, scale[None, :], quant_zz[None, :]
+
+
+def _realdct_kernel(x_ref, a_ref, b_ref, scale_ref, quant_ref, out_ref):
+    shifted = x_ref[:].astype(jnp.float32) - 128.0
+    acc = jnp.zeros_like(shifted)
+    for k in range(64):
+        term = shifted[:, k : k + 1] * a_ref[k : k + 1, :]
+        acc = acc + term * b_ref[k : k + 1, :]
+    coeffs = (scale_ref[:] * acc) / quant_ref[:]
+    out_ref[:] = jnp.trunc(coeffs).astype(jnp.int32)
+
+
+def real_dct_quant_zigzag_pallas(
+    blocks_u8: jnp.ndarray, is_luma: bool, interpret: bool = False
+) -> jnp.ndarray:
+    """(N, 64) uint8 -> (N, 64) int32 quantized coefficients, zigzag order."""
+    n = blocks_u8.shape[0]
+    padded_n = -(-n // TILE) * TILE
+    x = jnp.zeros((padded_n, 64), jnp.int32).at[:n].set(
+        blocks_u8.astype(jnp.int32)
+    )
+    a, b, scale, quant = (
+        jnp.asarray(c) for c in _realdct_constants("y" if is_luma else "c")
+    )
+    out = pl.pallas_call(
+        _realdct_kernel,
+        grid=(padded_n // TILE,),
+        in_specs=[
+            pl.BlockSpec((TILE, 64), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (TILE, 64), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((padded_n, 64), jnp.int32),
+        interpret=interpret,
+    )(x, a, b, scale, quant)
+    return out[:n]
+
+
+# --------------------------------------------------------------------------
+# binDCT kernel
+# --------------------------------------------------------------------------
+
+def _lift_groups(v: jnp.ndarray) -> jnp.ndarray:
+    """binDCT-C lifting across the 8 contiguous 8-column groups of (N, 64).
+
+    Same shift/add network as ops/dct._bindct_lifting_1d, with each x_i
+    being one 8-column group (one row of every block in the tile).
+    """
+    x = [v[:, 8 * i : 8 * (i + 1)] for i in range(8)]
+    x0, x1, x2, x3, x4, x5, x6, x7 = x
+
+    s7 = x0 - x7
+    s0 = x0 - (s7 >> 1)
+    s6 = x1 - x6
+    s1 = x1 - (s6 >> 1)
+    s5 = x2 - x5
+    s2 = x2 - (s5 >> 1)
+    s4 = x3 - x4
+    s3 = x3 - (s4 >> 1)
+
+    s6 = ((s5 * 3) >> 3) + s6
+    s5 = ((s6 * 5) >> 3) - s5
+
+    t0 = s0 + s3
+    t3 = s0 - s3
+    t1 = s1 + s2
+    t2 = s1 - s2
+    t4 = s4 + s5
+    t5 = s4 - s5
+    t6 = s7 - s6
+    t7 = s7 + s6
+
+    t4 = t4 - (t7 >> 3)
+    t0 = t0 + t1
+    t1 = -t1 + (t0 >> 1)
+    t2 = t2 - ((t3 * 3) >> 3)
+    t3 = t3 + ((t2 * 3) >> 3)
+    t5 = t5 + ((t6 * 7) >> 3)
+    t6 = t6 - (t5 >> 1)
+
+    return jnp.concatenate([t0, t7, t3, t6, t1, t5, t2, t4], axis=1)
+
+
+@functools.cache
+def _bindct_constants(quant_key: str) -> tuple[np.ndarray, np.ndarray]:
+    quant = tables.Y_QUANT_TABLE if quant_key == "y" else tables.C_QUANT_TABLE
+    # Quant divide happens in natural order; zigzag applies afterwards, so
+    # fold both into one gather permutation + pre-permuted quant row.
+    zz = tables.ZIGZAG_ORDER
+    return quant.reshape(64)[zz].astype(np.int32)[None, :], zz.astype(np.int32)
+
+
+_ZIGZAG_LIST = [int(i) for i in tables.ZIGZAG_ORDER]
+
+
+def _block_transpose(v: jnp.ndarray) -> jnp.ndarray:
+    """Transpose each 8x8 block held as 64 contiguous lanes."""
+    return v.reshape(-1, 8, 8).swapaxes(1, 2).reshape(-1, 64)
+
+
+def _bindct_kernel(x_ref, quant_ref, out_ref):
+    shifted = x_ref[:].astype(jnp.int32) - 128
+    # Row transform: lift across columns == lift groups of the transposed
+    # block layout; transpose back, then the column transform lifts rows.
+    rows_done = _block_transpose(_lift_groups(_block_transpose(shifted)))
+    freq = _lift_groups(rows_done)
+    # Static zigzag permutation as lane slices (no constant-array captures).
+    zigzagged = jnp.concatenate(
+        [freq[:, i : i + 1] for i in _ZIGZAG_LIST], axis=1
+    )
+    q = quant_ref[:]
+    out_ref[:] = jnp.sign(zigzagged) * (jnp.abs(zigzagged) // q)
+
+
+def bin_dct_quant_zigzag_pallas(
+    blocks_u8: jnp.ndarray, is_luma: bool, interpret: bool = False
+) -> jnp.ndarray:
+    """(N, 64) uint8 -> (N, 64) int32 quantized binDCT coeffs, zigzag order."""
+    n = blocks_u8.shape[0]
+    padded_n = -(-n // TILE) * TILE
+    x = jnp.zeros((padded_n, 64), jnp.int32).at[:n].set(
+        blocks_u8.astype(jnp.int32)
+    )
+    quant_zz, _ = _bindct_constants("y" if is_luma else "c")
+    out = pl.pallas_call(
+        _bindct_kernel,
+        grid=(padded_n // TILE,),
+        in_specs=[
+            pl.BlockSpec((TILE, 64), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (TILE, 64), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((padded_n, 64), jnp.int32),
+        interpret=interpret,
+    )(x, jnp.asarray(quant_zz))
+    return out[:n]

@@ -114,9 +114,9 @@ def _bit_length(values: jnp.ndarray) -> jnp.ndarray:
     return 32 - jax.lax.clz(jnp.abs(values))
 
 
-def _seq_diff(seq: jnp.ndarray) -> jnp.ndarray:
-    """diff[k] = seq[k] - seq[k-1] with an implicit leading 0 predictor."""
-    return seq - jnp.concatenate([jnp.zeros((1,), seq.dtype), seq[:-1]])
+def _seq_diff(seq: jnp.ndarray, init: jnp.ndarray) -> jnp.ndarray:
+    """diff[k] = seq[k] - seq[k-1], with `init` as the predictor before k=0."""
+    return seq - jnp.concatenate([init.reshape(1).astype(seq.dtype), seq[:-1]])
 
 
 def encode_scan(
@@ -125,6 +125,8 @@ def encode_scan(
     cr_coeffs: jnp.ndarray,
     geom: FrameGeometry,
     capacity_bytes: int,
+    init_dc: jnp.ndarray | None = None,
+    coeffs_zigzagged: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Quantized coefficients -> packed entropy bytes.
 
@@ -134,6 +136,12 @@ def encode_scan(
       cr_coeffs: (num_chroma_blocks, 64) int.
       geom: frame geometry (static).
       capacity_bytes: static output buffer size (multiple of 4).
+      init_dc: optional (3,) int32 initial DC predictors (Y, Cb, Cr); defaults
+        to zeros. Non-zero values are how MCU-band-sharded encodes chain
+        their predictors across devices (see parallel/tiled.py).
+      coeffs_zigzagged: the inputs are already in zigzag order (the Pallas
+        DCT kernels fold the zigzag permutation into their constants), so
+        skip the gather here. DC stays at column 0 either way.
 
     Returns:
       (bytes_u8 of shape (capacity_bytes,), total_bits scalar int32). The
@@ -151,14 +159,21 @@ def encode_scan(
          cr_coeffs.astype(jnp.int32)]
     )
     # (E, 64) zigzag-ordered coefficients in scan-entry order.
-    z = all_coeffs[jnp.asarray(layout.entry_row)][:, zz]
+    rows = all_coeffs[jnp.asarray(layout.entry_row)]
+    z = rows if coeffs_zigzagged else rows[:, zz]
 
     # ---- DC differences per component chain ----
+    if init_dc is None:
+        init_dc = jnp.zeros((3,), jnp.int32)
     dc_y_seq = y_coeffs[jnp.asarray(layout.luma_order), 0].astype(jnp.int32)
     dc_cb_seq = cb_coeffs[:, 0].astype(jnp.int32)
     dc_cr_seq = cr_coeffs[:, 0].astype(jnp.int32)
     diffs = jnp.concatenate(
-        [_seq_diff(dc_y_seq), _seq_diff(dc_cb_seq), _seq_diff(dc_cr_seq)]
+        [
+            _seq_diff(dc_y_seq, init_dc[0]),
+            _seq_diff(dc_cb_seq, init_dc[1]),
+            _seq_diff(dc_cr_seq, init_dc[2]),
+        ]
     )
     entry_diff = diffs[jnp.asarray(layout.entry_diff_src)]  # (E,)
 
@@ -219,22 +234,149 @@ def encode_scan(
     # ---- assemble slots: [DC | AC lanes 1..63 | EOB] per entry ----
     slot_bits = jnp.concatenate(
         [dc_bits[:, None], ac_bits[:, 1:], eob_bits[:, None]], axis=1
-    ).reshape(-1).astype(jnp.uint32)
+    ).astype(jnp.uint32)
     slot_lens = jnp.concatenate(
         [dc_len[:, None], ac_len[:, 1:], eob_len[:, None]], axis=1
-    ).reshape(-1).astype(jnp.int32)
+    ).astype(jnp.int32)
 
-    return pack_bits(slot_bits, slot_lens, capacity_bytes)
+    return pack_entries(slot_bits, slot_lens, capacity_bytes)
+
+
+def final_dc(
+    y_coeffs: jnp.ndarray,
+    cb_coeffs: jnp.ndarray,
+    cr_coeffs: jnp.ndarray,
+    geom: FrameGeometry,
+) -> jnp.ndarray:
+    """(3,) int32: last DC value of each component chain in scan order.
+
+    This is what the next MCU band's predictors must start from when one
+    image is sharded across devices.
+    """
+    layout = scan_layout(geom)
+    return jnp.stack(
+        [
+            y_coeffs[int(layout.luma_order[-1]), 0].astype(jnp.int32),
+            cb_coeffs[-1, 0].astype(jnp.int32),
+            cr_coeffs[-1, 0].astype(jnp.int32),
+        ]
+    )
+
+
+# Max u32 words one entry's packed stream can span: 65 slots * 27 bits =
+# 1755 bits -> words 0..54, plus one spill word.
+ENTRY_WORDS = 56
+
+# Entries intersecting one 32-bit output word: the entry covering the word's
+# first bit plus every entry that *starts* inside the word. The shortest
+# possible entry is 4 bits (chroma DC category 0 + chroma EOB, 2+2), so at
+# most 8 entries start within 32 bits -> 9 candidates; one extra for margin.
+ASSEMBLE_CANDIDATES = 10
+
+
+def _split_slot_words(
+    slot_bits: jnp.ndarray, slot_lens: jnp.ndarray, offsets: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """MSB-first alignment of each slot at its bit offset.
+
+    Returns (word_index, hi, lo): the slot's contribution to word_index is
+    `hi`, and `lo` spills into word_index + 1 when the slot crosses the
+    32-bit boundary (lo == 0 otherwise).
+    """
+    start = offsets & 31
+    end = start + slot_lens  # in [0, 58]
+    shift_hi = jnp.clip(32 - end, 0, 31)
+    hi = jnp.where(
+        end <= 32,
+        slot_bits << shift_hi.astype(jnp.uint32),
+        slot_bits >> jnp.clip(end - 32, 0, 31).astype(jnp.uint32),
+    )
+    lo = jnp.where(
+        end > 32, slot_bits << jnp.clip(64 - end, 0, 31).astype(jnp.uint32), 0
+    )
+    return offsets >> 5, hi, lo
+
+
+def pack_entries(
+    slot_bits: jnp.ndarray, slot_lens: jnp.ndarray, capacity_bytes: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Scatter-free bitstream packing of (E, S) per-entry slot codes.
+
+    Two levels, both plain vector code (TPU scatters serialize; this doesn't
+    use any):
+
+    1. Per entry: slots pack into a private (ENTRY_WORDS,) u32 buffer via a
+       masked-OR sweep — S fused elementwise steps over (E, ENTRY_WORDS),
+       no cross-entry interaction.
+    2. Global: entry e's stream starts at bit offset O[e] (one exclusive
+       cumsum). Each *output word* gathers the <= ASSEMBLE_CANDIDATES
+       entries that can intersect it (found with one searchsorted) and ORs
+       32-bit windows extracted from their entry buffers. Out-of-range
+       candidates self-mask: their extraction indices fall outside the
+       entry buffer and read as zero.
+
+    Returns (bytes_u8 (capacity_bytes,), total_bits).
+    """
+    assert capacity_bytes % 4 == 0
+    num_entries, slots = slot_bits.shape
+
+    # ---- level 1: per-entry packing ----
+    local_off = jnp.cumsum(slot_lens, axis=1) - slot_lens  # (E, S) exclusive
+    entry_bits = local_off[:, -1] + slot_lens[:, -1]  # (E,)
+    word_idx, hi, lo = _split_slot_words(slot_bits, slot_lens, local_off)
+
+    col = jnp.arange(ENTRY_WORDS, dtype=jnp.int32)[None, :]
+    entry_words = jnp.zeros((num_entries, ENTRY_WORDS), jnp.uint32)
+    for s in range(slots):
+        w = word_idx[:, s : s + 1]
+        entry_words = entry_words | jnp.where(col == w, hi[:, s : s + 1], 0)
+        entry_words = entry_words | jnp.where(col == w + 1, lo[:, s : s + 1], 0)
+
+    # ---- level 2: output-centric assembly ----
+    start_bit = jnp.cumsum(entry_bits) - entry_bits  # O[e], strictly increasing
+    total_bits = (start_bit[-1] + entry_bits[-1]).astype(jnp.int32)
+
+    num_words = capacity_bytes // 4
+    base = jnp.arange(num_words, dtype=jnp.int32) * 32
+    first = jnp.searchsorted(start_bit, base, side="right").astype(jnp.int32) - 1
+
+    flat_words = entry_words.reshape(-1)
+    out = jnp.zeros((num_words,), jnp.uint32)
+    for k in range(ASSEMBLE_CANDIDATES):
+        e = jnp.clip(first + k, 0, num_entries - 1)
+        p = base - start_bit[e]  # signed bit position of the word in entry e
+        j = p >> 5  # floor division: -1 when the entry starts mid-word
+        sh = (p & 31).astype(jnp.uint32)
+        w0 = jnp.where(
+            (j >= 0) & (j < ENTRY_WORDS),
+            flat_words[jnp.clip(e * ENTRY_WORDS + j, 0, None)], 0
+        )
+        j1 = j + 1
+        w1 = jnp.where(
+            (j1 >= 0) & (j1 < ENTRY_WORDS),
+            flat_words[jnp.clip(e * ENTRY_WORDS + j1, 0, None)], 0
+        )
+        # MSB-first 32-bit window at bit position p of entry e's stream.
+        contrib = jnp.where(sh == 0, w0, (w0 << sh) | (w1 >> (32 - sh)))
+        out = out | contrib
+        # Trailing garbage is impossible: entry buffers are zero past their
+        # stream and candidates past the last entry clamp to repeats of it,
+        # whose windows are zero once p >= its bit length (idempotent OR
+        # makes the one genuine repeat harmless).
+
+    shifts = jnp.array([24, 16, 8, 0], dtype=jnp.uint32)
+    byte_matrix = (out[:, None] >> shifts[None, :]) & jnp.uint32(0xFF)
+    return byte_matrix.reshape(-1).astype(jnp.uint8), total_bits
 
 
 def pack_bits(
     slot_bits: jnp.ndarray, slot_lens: jnp.ndarray, capacity_bytes: int
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Concatenate variable-length codes (MSB-first) into a byte buffer.
+    """Reference packer: scatter-add of flat (S,) slot codes.
 
-    slot_bits[i] holds slot i's code in its low slot_lens[i] (< 28) bits.
-    Exclusive scan gives absolute bit offsets; each slot contributes to at
-    most two u32 words via disjoint-bit scatter-adds.
+    Kept as the simple oracle for pack_entries (scatters serialize on TPU,
+    so the pipeline uses pack_entries); still the clearest statement of the
+    packing semantics.
     """
     offsets = jnp.cumsum(slot_lens) - slot_lens
     total_bits = (offsets[-1] + slot_lens[-1]).astype(jnp.int32)

@@ -1,6 +1,9 @@
 """Device entropy coding vs the oracle: bit-exact payloads."""
 
+import functools
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -9,14 +12,19 @@ from jpeg_encoder_tpu.config import EncoderConfig
 from jpeg_encoder_tpu.ops import entropy
 
 
+@functools.lru_cache(maxsize=64)
+def _jitted_encode_scan(geom, capacity):
+    return jax.jit(
+        lambda y, cb, cr: entropy.encode_scan(y, cb, cr, geom, capacity)
+    )
+
+
 def _device_payload(y, cb, cr, geom):
     capacity = ((geom.num_scan_entries * 220) + 3) // 4 * 4
-    payload, bits = entropy.encode_scan(
+    payload, bits = _jitted_encode_scan(geom, capacity)(
         jnp.asarray(y.reshape(-1, 64)),
         jnp.asarray(cb.reshape(-1, 64)),
         jnp.asarray(cr.reshape(-1, 64)),
-        geom,
-        capacity,
     )
     bits = int(bits)
     return np.asarray(payload)[: (bits + 7) // 8].tobytes(), bits
