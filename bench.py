@@ -50,7 +50,9 @@ def log(msg: str) -> None:
 def main() -> None:
     config = EncoderConfig(subsampling_ratio=(4, 2, 0))
     geom = config.geometry(WIDTH, HEIGHT)
-    capacity = pipeline.worst_case_capacity_bytes(geom)
+    capacity = pipeline.default_capacity_bytes(
+        geom, config.capacity_bytes_per_pixel
+    )
 
     def make_batch(seed):
         key = jax.random.key(seed)
@@ -81,6 +83,10 @@ def main() -> None:
     payloads, bits = jax.block_until_ready(encode(images))
     log(f"first call (incl. compile): {time.perf_counter() - t0:.2f}s, "
         f"mean payload {float(jnp.mean(bits)) / 8 / 1024:.1f} KiB")
+    assert int(jnp.max(bits)) <= 8 * capacity, (
+        "benchmark payload overflowed the capacity estimate; a production "
+        "encode would retry with pipeline.next_capacity_bytes"
+    )
 
     for i in range(WARMUP_ITERS):
         jax.block_until_ready(encode(images))

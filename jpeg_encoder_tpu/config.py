@@ -150,11 +150,18 @@ class EncoderConfig:
     # summation order; ~1e-5 of coefficients land one quantization step away
     # from the reference (visually and PSNR-wise indistinguishable).
     fast_dct: bool = False
-    # Output bitstream capacity in bytes per pixel of the original image.
-    # Baseline worst case for pathological noise approaches ~4 B/px at 4:4:4;
-    # the pipeline reports the true bit length so overflow is detectable and
-    # the encode can be retried with a larger capacity.
-    capacity_bytes_per_pixel: float = 4.0
+    # Run DCT+quantization through the fused Pallas kernels
+    # (kernels/dct_pallas.py: level shift, transform, quant divide and the
+    # zigzag permutation in one VMEM pass) instead of the XLA-fused ops
+    # path. Both are bit-identical to the reference; on non-TPU backends the
+    # kernels run in interpret mode (slow, tests only).
+    use_pallas: bool = False
+    # Initial output-bitstream capacity estimate in bytes per pixel of the
+    # original image. The packer's cost scales with this buffer, so it is an
+    # estimate (typical Annex-K-table payloads are 0.1-0.4 B/px), not a
+    # bound: the pipeline reports the true bit length, detects overflow, and
+    # automatically retries with a larger buffer (pipeline.encode_array).
+    capacity_bytes_per_pixel: float = 1.0
 
     def geometry(self, width: int, height: int) -> FrameGeometry:
         return FrameGeometry.create(width, height, self.subsampling_ratio)

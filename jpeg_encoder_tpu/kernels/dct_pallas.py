@@ -16,8 +16,8 @@ groups (the block's rows); the row-direction pass reuses the same code on a
 transposed-within-block lane permutation. Integer-only, bit-identical to
 the reference's un-descaled binDCT-C.
 
-Both kernels run under interpret mode on CPU for tests; pipeline.py selects
-them via EncoderConfig.use_pallas.
+Both kernels run under interpret mode on CPU for tests (tests/test_kernels.py);
+pipeline.encode_core selects them via EncoderConfig.use_pallas.
 """
 
 from __future__ import annotations

@@ -63,7 +63,9 @@ def encode_batch(
         raise ValueError("expected (B, H, W, 3) uint8 batch")
     batch, height, width = images.shape[:3]
     geom = config.geometry(width, height)
-    capacity = pipeline.worst_case_capacity_bytes(geom)
+    capacity = pipeline.default_capacity_bytes(
+        geom, config.capacity_bytes_per_pixel
+    )
 
     n_dev = mesh.devices.size
     padded_batch = -(-batch // n_dev) * n_dev
@@ -71,12 +73,18 @@ def encode_batch(
         pad = np.zeros((padded_batch - batch, height, width, 3), np.uint8)
         images = np.concatenate([images, pad])
 
-    encoder = compiled_batch_encoder(
-        mesh, geom, config.dct_algorithm, capacity, config.fast_dct
-    )
-    payloads, bit_lengths = encoder(jnp.asarray(images))
+    device_images = jnp.asarray(images)
+    while True:
+        encoder = compiled_batch_encoder(
+            mesh, geom, config.dct_algorithm, capacity, config.fast_dct
+        )
+        payloads, bit_lengths = encoder(device_images)
+        bit_lengths = np.asarray(bit_lengths)
+        if int(bit_lengths.max()) <= 8 * capacity:
+            break
+        # Some image overflowed the capacity estimate: grow and re-encode.
+        capacity = pipeline.next_capacity_bytes(geom, capacity)
     payloads = np.asarray(payloads)
-    bit_lengths = np.asarray(bit_lengths)
 
     files = []
     header = jfif.header_bytes(geom)

@@ -62,13 +62,13 @@ def compiled_tiled_encoder(
     mesh: Mesh,
     geom: FrameGeometry,
     algorithm: DctAlgorithm,
+    capacity: int,
     fast_dct: bool = False,
 ):
     """Jitted (padded_height, W, 3) -> ((n_dev, cap) payloads, (n_dev,) bits)."""
     n_dev = mesh.devices.size
     band_h = geom.padded_height // n_dev
     band_geom = _band_geometry(geom, band_h)
-    capacity = pipeline.worst_case_capacity_bytes(band_geom)
 
     def shard_fn(rgb_band):  # (band_h, W, 3) uint8
         idx = jax.lax.axis_index(DATA_AXIS)
@@ -141,12 +141,22 @@ def encode_tiled(
     padded = np.zeros((geom.padded_height, width, 3), np.uint8)
     padded[:height] = rgb
 
-    encoder = compiled_tiled_encoder(
-        mesh, geom, config.dct_algorithm, config.fast_dct
+    band_geom = _band_geometry(geom, geom.padded_height // n_dev)
+    capacity = pipeline.default_capacity_bytes(
+        band_geom, config.capacity_bytes_per_pixel
     )
-    payloads, bit_lengths = encoder(jnp.asarray(padded))
+    device_rgb = jnp.asarray(padded)
+    while True:
+        encoder = compiled_tiled_encoder(
+            mesh, geom, config.dct_algorithm, capacity, config.fast_dct
+        )
+        payloads, bit_lengths = encoder(device_rgb)
+        bit_lengths = np.asarray(bit_lengths)
+        if int(bit_lengths.max()) <= 8 * capacity:
+            break
+        # A band overflowed the capacity estimate: grow and re-encode.
+        capacity = pipeline.next_capacity_bytes(band_geom, capacity)
     payloads = np.asarray(payloads)
-    bit_lengths = np.asarray(bit_lengths)
 
     spliced, total_bits = splice_bitstreams(
         [(payloads[i], int(bit_lengths[i])) for i in range(n_dev)]

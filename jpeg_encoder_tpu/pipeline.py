@@ -38,33 +38,81 @@ def worst_case_capacity_bytes(geom: FrameGeometry) -> int:
     return (bits // 8 + 4) // 4 * 4
 
 
+def default_capacity_bytes(
+    geom: FrameGeometry, bytes_per_pixel: float = 1.0
+) -> int:
+    """Initial output-buffer size: a content estimate, not the worst case.
+
+    The packer's output-assembly cost is proportional to the buffer size, and
+    the worst case (~27 bytes per 8x8 block) is ~100x any real image's
+    payload — sizing for it made assembly the entire pipeline cost. Instead
+    start from `bytes_per_pixel` (default 1 B/px = 8 bits/px, several times
+    the typical Annex-K-table rate), bucket to a power of two so the retry
+    ladder compiles O(log) program variants, and let callers retry with
+    `next_capacity_bytes` on the (detectable, rare) overflow.
+    """
+    worst = worst_case_capacity_bytes(geom)
+    est = max(int(geom.width * geom.height * bytes_per_pixel), 16384)
+    cap = 1 << (est - 1).bit_length()
+    return min(cap, worst)
+
+
+def next_capacity_bytes(geom: FrameGeometry, capacity_bytes: int) -> int:
+    """The retry ladder: 8x the buffer, capped at the true worst case."""
+    return min(capacity_bytes * 8, worst_case_capacity_bytes(geom))
+
+
 def encode_core(
     rgb: jnp.ndarray,
     geom: FrameGeometry,
     algorithm: DctAlgorithm,
     capacity_bytes: int,
     fast_dct: bool = False,
+    use_pallas: bool = False,
 ) -> dict[str, jnp.ndarray]:
     """(H, W, 3) uint8 -> packed entropy payload + quantized coefficients.
 
     Pure, jittable, and vmap/shard_map-compatible for fixed static args.
+    With use_pallas the DCT stage runs through the fused Pallas kernels,
+    which emit zigzag-ordered coefficients directly; the returned coefficient
+    arrays are un-permuted back to natural order either way.
     """
     y, cb, cr = color.rgb_to_ycbcr(rgb)
     y = sample.pad_plane(y, geom)
     cb = sample.subsample_plane(sample.pad_plane(cb, geom), geom)
     cr = sample.subsample_plane(sample.pad_plane(cr, geom), geom)
 
-    y_q = dct.dct_quantize(
-        sample.blockify(y), tables.Y_QUANT_TABLE, algorithm, fast_dct
-    )
-    cb_q = dct.dct_quantize(
-        sample.blockify(cb), tables.C_QUANT_TABLE, algorithm, fast_dct
-    )
-    cr_q = dct.dct_quantize(
-        sample.blockify(cr), tables.C_QUANT_TABLE, algorithm, fast_dct
-    )
+    if use_pallas:
+        from jpeg_encoder_tpu.kernels import dct_pallas
 
-    payload, total_bits = entropy.encode_scan(y_q, cb_q, cr_q, geom, capacity_bytes)
+        interpret = jax.default_backend() != "tpu"
+        if algorithm == DctAlgorithm.REAL_DCT:
+            kernel = dct_pallas.real_dct_quant_zigzag_pallas
+        else:
+            kernel = dct_pallas.bin_dct_quant_zigzag_pallas
+        y_z = kernel(sample.blockify(y), True, interpret)
+        cb_z = kernel(sample.blockify(cb), False, interpret)
+        cr_z = kernel(sample.blockify(cr), False, interpret)
+        payload, total_bits = entropy.encode_scan(
+            y_z, cb_z, cr_z, geom, capacity_bytes, coeffs_zigzagged=True
+        )
+        inv_zz = jnp.asarray(np.argsort(tables.ZIGZAG_ORDER))
+        y_q = y_z[:, inv_zz].astype(jnp.int16)
+        cb_q = cb_z[:, inv_zz].astype(jnp.int16)
+        cr_q = cr_z[:, inv_zz].astype(jnp.int16)
+    else:
+        y_q = dct.dct_quantize(
+            sample.blockify(y), tables.Y_QUANT_TABLE, algorithm, fast_dct
+        )
+        cb_q = dct.dct_quantize(
+            sample.blockify(cb), tables.C_QUANT_TABLE, algorithm, fast_dct
+        )
+        cr_q = dct.dct_quantize(
+            sample.blockify(cr), tables.C_QUANT_TABLE, algorithm, fast_dct
+        )
+        payload, total_bits = entropy.encode_scan(
+            y_q, cb_q, cr_q, geom, capacity_bytes
+        )
     return {
         "payload": payload,
         "total_bits": total_bits,
@@ -80,11 +128,14 @@ def compiled_encoder(
     algorithm: DctAlgorithm,
     capacity_bytes: int,
     fast_dct: bool = False,
+    use_pallas: bool = False,
 ):
     """Jitted encode_core for one static configuration (cached)."""
 
     def fn(rgb: jnp.ndarray) -> dict[str, jnp.ndarray]:
-        return encode_core(rgb, geom, algorithm, capacity_bytes, fast_dct)
+        return encode_core(
+            rgb, geom, algorithm, capacity_bytes, fast_dct, use_pallas
+        )
 
     return jax.jit(fn)
 
@@ -108,11 +159,19 @@ def encode_array(
         raise ValueError("expected (H, W, 3) RGB input")
     height, width = rgb.shape[:2]
     geom = config.geometry(width, height)
-    capacity = worst_case_capacity_bytes(geom)
-    out = compiled_encoder(geom, config.dct_algorithm, capacity, config.fast_dct)(
-        jnp.asarray(rgb, dtype=jnp.uint8)
-    )
-    bit_length = int(out["total_bits"])
+    capacity = default_capacity_bytes(geom, config.capacity_bytes_per_pixel)
+    device_rgb = jnp.asarray(rgb, dtype=jnp.uint8)
+    while True:
+        out = compiled_encoder(
+            geom, config.dct_algorithm, capacity, config.fast_dct,
+            config.use_pallas,
+        )(device_rgb)
+        bit_length = int(out["total_bits"])
+        if bit_length <= 8 * capacity:
+            break
+        # Payload overflowed the estimate (pack_entries drops the excess but
+        # reports the true length): re-encode with a bigger buffer.
+        capacity = next_capacity_bytes(geom, capacity)
     num_bytes = (bit_length + 7) // 8
     payload = np.asarray(out["payload"])[:num_bytes].tobytes()
     result = EncodeResult(

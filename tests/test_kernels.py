@@ -1,0 +1,66 @@
+"""Pallas kernel parity: fused DCT kernels vs the ops/oracle formulations.
+
+On the CPU test backend the kernels run in interpret mode; the same code
+compiles for TPU (exercised by bench.py and the driver's compile check).
+"""
+
+import numpy as np
+import pytest
+
+from jpeg_encoder_tpu import oracle, pipeline, tables
+from jpeg_encoder_tpu.config import DctAlgorithm, EncoderConfig
+from jpeg_encoder_tpu.io import jfif
+from jpeg_encoder_tpu.kernels import dct_pallas
+from jpeg_encoder_tpu.ops import dct
+
+
+@pytest.mark.parametrize("is_luma", [True, False])
+def test_realdct_kernel_matches_ordered_ops(is_luma, rng):
+    blocks = rng.integers(0, 256, size=(70, 64), dtype=np.uint8)
+    quant = tables.Y_QUANT_TABLE if is_luma else tables.C_QUANT_TABLE
+    want = np.asarray(
+        dct.dct_quantize(blocks, quant, DctAlgorithm.REAL_DCT, False)
+    )
+    got_zz = np.asarray(
+        dct_pallas.real_dct_quant_zigzag_pallas(blocks, is_luma, interpret=True)
+    )
+    got = got_zz[:, np.argsort(tables.ZIGZAG_ORDER)]
+    assert np.array_equal(got, want.astype(np.int32))
+
+
+@pytest.mark.parametrize("is_luma", [True, False])
+def test_bindct_kernel_matches_ops(is_luma, rng):
+    blocks = rng.integers(0, 256, size=(70, 64), dtype=np.uint8)
+    quant = tables.Y_QUANT_TABLE if is_luma else tables.C_QUANT_TABLE
+    want = np.asarray(
+        dct.dct_quantize(blocks, quant, DctAlgorithm.BIN_DCT, False)
+    )
+    got_zz = np.asarray(
+        dct_pallas.bin_dct_quant_zigzag_pallas(blocks, is_luma, interpret=True)
+    )
+    got = got_zz[:, np.argsort(tables.ZIGZAG_ORDER)]
+    assert np.array_equal(got, want.astype(np.int32))
+
+
+@pytest.mark.parametrize(
+    "algorithm", [DctAlgorithm.REAL_DCT, DctAlgorithm.BIN_DCT]
+)
+def test_pipeline_use_pallas_matches_oracle(algorithm, rng):
+    """The full encode with the kernel path must equal the golden model."""
+    rgb = rng.integers(0, 256, size=(24, 40, 3), dtype=np.uint8)
+    config = EncoderConfig(
+        subsampling_ratio=(4, 2, 0), dct_algorithm=algorithm, use_pallas=True
+    )
+    device = pipeline.encode_array(rgb, config)
+    golden = oracle.encode_oracle(rgb, config)
+    assert device.file_bytes == jfif.assemble(golden.geom, golden.entropy_bytes)
+
+
+def test_pipeline_use_pallas_returns_natural_order_coeffs(rng):
+    rgb = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    plain = EncoderConfig(subsampling_ratio=(4, 4, 4))
+    pal = EncoderConfig(subsampling_ratio=(4, 4, 4), use_pallas=True)
+    _, want = pipeline.encode_array(rgb, plain, return_coeffs=True)
+    _, got = pipeline.encode_array(rgb, pal, return_coeffs=True)
+    for w, g in zip(want, got):
+        assert np.array_equal(np.asarray(w), np.asarray(g))

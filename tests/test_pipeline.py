@@ -119,3 +119,37 @@ def test_header_structure():
     assert sof[11] == 0x22
     # Ends with the SOS header, spectral selection 0..63.
     assert header.endswith(bytes([0, 63, 0]))
+
+
+def test_capacity_overflow_retry(rng):
+    """An undersized capacity estimate must detect overflow and retry.
+
+    Noise at 256x256 4:4:4 packs well over the 16 KiB capacity floor, so a
+    tiny bytes-per-pixel estimate forces at least one trip up the
+    pipeline.next_capacity_bytes ladder; the result must be identical to an
+    encode whose first buffer already fit.
+    """
+    rgb = rng.integers(0, 256, size=(256, 256, 3), dtype=np.uint8)
+    roomy = EncoderConfig(subsampling_ratio=(4, 4, 4))
+    tight = EncoderConfig(
+        subsampling_ratio=(4, 4, 4), capacity_bytes_per_pixel=1e-6
+    )
+    geom = roomy.geometry(256, 256)
+    first_cap = pipeline.default_capacity_bytes(geom, 1e-6)
+    reference = pipeline.encode_array(rgb, roomy)
+    assert reference.bit_length > 8 * first_cap, "content must overflow"
+    retried = pipeline.encode_array(rgb, tight)
+    assert retried.file_bytes == reference.file_bytes
+
+
+def test_capacity_ladder_caps_at_worst_case():
+    geom = EncoderConfig().geometry(64, 64)
+    worst = pipeline.worst_case_capacity_bytes(geom)
+    cap = pipeline.default_capacity_bytes(geom)
+    seen = set()
+    while cap < worst:
+        assert cap not in seen, "ladder must strictly grow"
+        seen.add(cap)
+        cap = pipeline.next_capacity_bytes(geom, cap)
+    assert cap == worst
+    assert pipeline.next_capacity_bytes(geom, cap) == worst
