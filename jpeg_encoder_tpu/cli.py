@@ -116,19 +116,47 @@ def main(argv: list[str] | None = None) -> int:
 
 
 def _run_batch(inputs: list[str], args, config: EncoderConfig) -> int:
+    """Batch encode: group by dimensions, device-batch each group.
+
+    Same-sized images load through the native threaded BMP loader and
+    encode as one sharded device batch (parallel/batch.py) — on a single
+    chip that is a vmapped program; on a pod slice each chip takes a slice
+    of the batch.
+    """
+    import collections
     import os
 
-    from jpeg_encoder_tpu import pipeline
+    from jpeg_encoder_tpu.io import bmp
+    from jpeg_encoder_tpu.parallel import batch as batch_lib
+    from jpeg_encoder_tpu.parallel import mesh as mesh_lib
 
     out_dir = args.output or "."
     os.makedirs(out_dir, exist_ok=True)
     t0 = time.perf_counter()
     total_pixels = 0
-    for path in inputs:
-        name = os.path.splitext(os.path.basename(path))[0] + ".jpeg"
-        result = pipeline.encode_file(path, os.path.join(out_dir, name), config)
-        total_pixels += result.geom.width * result.geom.height
-        print(f"encoded {path} -> {os.path.join(out_dir, name)}")
+
+    groups: dict[tuple[int, int], list[str]] = collections.defaultdict(list)
+    try:
+        for path in inputs:
+            with open(path, "rb") as f:
+                head = f.read(64)
+            dims = bmp.probe_dimensions(head)
+            groups[dims].append(path)
+    except (OSError, ValueError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+    mesh = mesh_lib.data_mesh()
+    for (width, height), paths in groups.items():
+        images = bmp.read_batch(paths)
+        files = batch_lib.encode_batch(images, config, mesh)
+        for path, data in zip(paths, files):
+            name = os.path.splitext(os.path.basename(path))[0] + ".jpeg"
+            with open(os.path.join(out_dir, name), "wb") as f:
+                f.write(data)
+            print(f"encoded {path} -> {os.path.join(out_dir, name)}")
+        total_pixels += width * height * len(paths)
+
     elapsed = time.perf_counter() - t0
     if args.timing:
         print(json.dumps({

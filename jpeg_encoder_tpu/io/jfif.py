@@ -15,7 +15,7 @@ import struct
 
 import numpy as np
 
-from jpeg_encoder_tpu import tables
+from jpeg_encoder_tpu import native, tables
 from jpeg_encoder_tpu.config import FrameGeometry
 
 SOI = b"\xff\xd8"
@@ -62,9 +62,20 @@ def sos_segment() -> bytes:
 def stuff_bytes(payload: np.ndarray) -> bytes:
     """Escape in-payload 0xFF bytes as 0xFF 0x00 (file.rs:92-103).
 
-    Vectorized: each source byte expands to 1 or 2 output bytes via repeat.
+    Native single-pass when the host runtime is built; otherwise vectorized
+    NumPy (each source byte expands to 1 or 2 output bytes via repeat).
     """
     payload = np.ascontiguousarray(payload, dtype=np.uint8)
+    lib = native.load()
+    if lib is not None and payload.size:
+        import ctypes
+
+        out = np.empty(2 * payload.size, np.uint8)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        n = lib.jt_stuff_bytes(
+            payload.ctypes.data_as(u8p), payload.size, out.ctypes.data_as(u8p)
+        )
+        return out[:n].tobytes()
     is_ff = payload == 0xFF
     if not is_ff.any():
         return payload.tobytes()

@@ -10,7 +10,11 @@ payload bytes), not O(total bits).
 
 from __future__ import annotations
 
+import ctypes
+
 import numpy as np
+
+from jpeg_encoder_tpu import native
 
 
 def splice_bitstreams(chunks: list[tuple[np.ndarray, int]]) -> tuple[bytes, int]:
@@ -26,6 +30,19 @@ def splice_bitstreams(chunks: list[tuple[np.ndarray, int]]) -> tuple[bytes, int]
       (spliced bytes, total bit length); the final partial byte zero-filled.
     """
     total_bits = sum(int(n) for _, n in chunks)
+    lib = native.load()
+    if lib is not None and chunks:
+        arrays = [
+            np.ascontiguousarray(arr[: (int(n) + 7) // 8], dtype=np.uint8)
+            for arr, n in chunks
+        ]
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        ptrs = (u8p * len(arrays))(*[a.ctypes.data_as(u8p) for a in arrays])
+        lens = (ctypes.c_int64 * len(arrays))(*[int(n) for _, n in chunks])
+        out = np.zeros((total_bits + 7) // 8, dtype=np.uint8)
+        got = lib.jt_splice_bits(ptrs, lens, len(arrays), out.ctypes.data_as(u8p))
+        assert got == total_bits
+        return out.tobytes(), total_bits
     out = np.zeros((total_bits + 7) // 8, dtype=np.uint8)
     offset = 0
     for arr, nbits in chunks:
