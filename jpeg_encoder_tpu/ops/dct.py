@@ -101,22 +101,30 @@ def real_dct_quant_ordered(blocks_u8: jnp.ndarray, quant: np.ndarray) -> jnp.nda
     the MXU matmul variant above exists for when raw throughput matters more
     than the last ~1e-5 of coefficient parity.
     """
-    basis = jnp.asarray(dct_basis_f32())
-    shifted = level_shift(blocks_u8).astype(jnp.float32).reshape(-1, 8, 8)
-    n = shifted.shape[0]
-    acc = jnp.zeros((n, 8, 8), jnp.float32)
-    for x in range(8):
-        for y in range(8):
-            term = shifted[:, x, y, None, None] * basis[None, :, x, None]
-            term = term * basis[None, None, :, y]
-            acc = acc + term
+    # Flat (N, 64) formulation: step k = (x, y) contributes
+    # (px * basis[u, x]) * basis[v, y] to every output lane uv — the
+    # reference's association order, with no (..., 8, 8) trailing shapes
+    # (those pad 16x under TPU (8, 128) tiling and ballooned HBM temps).
+    basis = dct_basis_f32()
+    u_of = np.arange(64) // 8
+    v_of = np.arange(64) % 8
+    x_of = np.arange(64) // 8
+    y_of = np.arange(64) % 8
+    a_steps = jnp.asarray(basis[u_of[None, :], x_of[:, None]])  # (step, uv)
+    b_steps = jnp.asarray(basis[v_of[None, :], y_of[:, None]])
+    shifted = level_shift(blocks_u8).astype(jnp.float32).reshape(-1, 64)
+    acc = jnp.zeros_like(shifted)
+    for k in range(64):
+        acc = acc + (shifted[:, k : k + 1] * a_steps[k : k + 1, :]) * (
+            b_steps[k : k + 1, :]
+        )
     inv_sqrt2 = _F32(1.0) / _F32(np.sqrt(2.0))
     alpha = np.where(np.arange(8) == 0, inv_sqrt2, _F32(1.0)).astype(_F32)
-    scale = (_F32(0.25) * alpha[:, None]) * alpha[None, :]
-    coeffs = (jnp.asarray(scale)[None] * acc) / jnp.asarray(
-        quant.astype(np.float32)
+    scale = ((_F32(0.25) * alpha[u_of]) * alpha[v_of]).astype(_F32)
+    coeffs = (jnp.asarray(scale)[None, :] * acc) / jnp.asarray(
+        quant.reshape(64).astype(np.float32)
     )
-    return jnp.trunc(coeffs).astype(jnp.int16).reshape(-1, 64)
+    return jnp.trunc(coeffs).astype(jnp.int16)
 
 
 def _bindct_lifting_1d(x: list[jnp.ndarray]) -> list[jnp.ndarray]:

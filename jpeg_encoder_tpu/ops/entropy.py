@@ -127,6 +127,7 @@ def encode_scan(
     capacity_bytes: int,
     init_dc: jnp.ndarray | None = None,
     coeffs_zigzagged: bool = False,
+    packer: str = "xla",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Quantized coefficients -> packed entropy bytes.
 
@@ -142,6 +143,9 @@ def encode_scan(
       coeffs_zigzagged: the inputs are already in zigzag order (the Pallas
         DCT kernels fold the zigzag permutation into their constants), so
         skip the gather here. DC stays at column 0 either way.
+      packer: "xla" (gather-based output assembly), "pallas" (sequential
+        VMEM-resident assembly kernel, TPU only), or "pallas_interpret"
+        (the kernel under the interpreter, for CPU tests).
 
     Returns:
       (bytes_u8 of shape (capacity_bytes,), total_bits scalar int32). The
@@ -151,47 +155,66 @@ def encode_scan(
       larger capacity (excess writes are dropped, never corrupted).
     """
     assert capacity_bytes % 4 == 0
-    layout = scan_layout(geom)
+    h, v = geom.h_factor, geom.v_factor
+    hv = h * v
+    m = geom.num_mcus
+    bpm = geom.blocks_per_mcu
     zz = jnp.asarray(tables.ZIGZAG_ORDER)
 
-    all_coeffs = jnp.concatenate(
-        [y_coeffs.astype(jnp.int32), cb_coeffs.astype(jnp.int32),
-         cr_coeffs.astype(jnp.int32)]
+    # ---- scan-entry ordering via pure layout ops (no gathers) ----
+    # Luma blocks regroup into h x v superblocks with one reshape/transpose;
+    # MCU k's entries are [superblock k row-major | cb k | cr k]
+    # (entropy_coding.rs:97-124). Superblocks past the chroma-driven MCU
+    # count are never emitted (quirk geometries; see _luma_scan_order).
+    by, bx = geom.luma_blocks_y, geom.luma_blocks_x
+    sup = (
+        y_coeffs.astype(jnp.int32)
+        .reshape(by // v, v, bx // h, h, 64)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(-1, hv, 64)
     )
-    # (E, 64) zigzag-ordered coefficients in scan-entry order.
-    rows = all_coeffs[jnp.asarray(layout.entry_row)]
+    y_mcu = sup[:m]  # (m, hv, 64)
+    cb32 = cb_coeffs.astype(jnp.int32)
+    cr32 = cr_coeffs.astype(jnp.int32)
+    rows = jnp.concatenate(
+        [y_mcu, cb32[:, None, :], cr32[:, None, :]], axis=1
+    ).reshape(m * bpm, 64)
     z = rows if coeffs_zigzagged else rows[:, zz]
 
     # ---- DC differences per component chain ----
     if init_dc is None:
         init_dc = jnp.zeros((3,), jnp.int32)
-    dc_y_seq = y_coeffs[jnp.asarray(layout.luma_order), 0].astype(jnp.int32)
-    dc_cb_seq = cb_coeffs[:, 0].astype(jnp.int32)
-    dc_cr_seq = cr_coeffs[:, 0].astype(jnp.int32)
-    diffs = jnp.concatenate(
-        [
-            _seq_diff(dc_y_seq, init_dc[0]),
-            _seq_diff(dc_cb_seq, init_dc[1]),
-            _seq_diff(dc_cr_seq, init_dc[2]),
-        ]
-    )
-    entry_diff = diffs[jnp.asarray(layout.entry_diff_src)]  # (E,)
+    diff_y = _seq_diff(y_mcu[:, :, 0].reshape(-1), init_dc[0])
+    diff_cb = _seq_diff(cb32[:, 0], init_dc[1])
+    diff_cr = _seq_diff(cr32[:, 0], init_dc[2])
+    entry_diff = jnp.concatenate(
+        [diff_y.reshape(m, hv), diff_cb[:, None], diff_cr[:, None]], axis=1
+    ).reshape(m * bpm)
 
-    is_luma = jnp.asarray(layout.entry_is_luma)
+    is_luma = jnp.asarray(
+        np.tile(np.array([True] * hv + [False, False]), m)
+    )
     tbl = jnp.where(is_luma, 0, 1)  # (E,) table id: 0 luma, 1 chroma
 
-    dc_code_lut = jnp.asarray(tables.DC_CODE_LUT.astype(np.int32))
-    dc_len_lut = jnp.asarray(tables.DC_LEN_LUT)
-    ac_code_lut = jnp.asarray(tables.AC_CODE_LUT.astype(np.int32))
-    ac_len_lut = jnp.asarray(tables.AC_LEN_LUT)
+    # Fused (length << 20) | code LUTs: one gather yields both fields
+    # (code <= 16 bits, length <= 16, so the packing is lossless).
+    dc_lut = jnp.asarray(
+        (tables.DC_LEN_LUT.astype(np.int32) << 20)
+        | tables.DC_CODE_LUT.astype(np.int32)
+    )
+    ac_lut = jnp.asarray(
+        (tables.AC_LEN_LUT.astype(np.int32) << 20)
+        | tables.AC_CODE_LUT.astype(np.int32)
+    )
 
     # ---- DC slot (slot 0) ----
     dc_bl = _bit_length(entry_diff)
     dc_ampl = jnp.where(
         entry_diff < 0, entry_diff + (1 << dc_bl) - 1, entry_diff
     ) & ((1 << dc_bl) - 1)
-    dc_code = dc_code_lut[tbl, dc_bl]
-    dc_len = dc_len_lut[tbl, dc_bl] + dc_bl
+    dc_cl = dc_lut[tbl, dc_bl]
+    dc_code = dc_cl & 0xFFFFF
+    dc_len = (dc_cl >> 20) + dc_bl
     dc_bits = (dc_code << dc_bl) | dc_ampl
 
     # ---- AC slots (positions 1..63, computed for all 64 lanes) ----
@@ -212,24 +235,37 @@ def encode_scan(
     ac_sym = ((zeros_before & 15) << 4) | ac_bl
     ac_ampl = jnp.where(z < 0, z + (1 << ac_bl) - 1, z) & ((1 << ac_bl) - 1)
     tbl_b = tbl[:, None]
-    nz_code = ac_code_lut[tbl_b, ac_sym]
-    nz_len = ac_len_lut[tbl_b, ac_sym] + ac_bl
-    nz_bits = (nz_code << ac_bl) | ac_ampl
+    nz_cl = ac_lut[tbl_b, ac_sym]
+    nz_len = (nz_cl >> 20) + ac_bl
+    nz_bits = ((nz_cl & 0xFFFFF) << ac_bl) | ac_ampl
 
     # A zero lane emits one ZRL iff it is the 16th/32nd/48th zero of a run
-    # that terminates at a later nonzero (never for trailing zeros).
+    # that terminates at a later nonzero (never for trailing zeros). ZRL and
+    # EOB codes are two scalars per table: a select, not a gather.
     is_zero_lane = (z == 0) & (pos > 0)
     zrl_here = is_zero_lane & (pos <= last_nz) & (run_dist % 16 == 0)
-    zrl_code = ac_code_lut[tbl_b, 0xF0]
-    zrl_len = ac_len_lut[tbl_b, 0xF0]
+    ac_np = (tables.AC_LEN_LUT.astype(np.int32) << 20) | tables.AC_CODE_LUT.astype(np.int32)
+    is_luma_b = is_luma[:, None]
+    zrl_code = jnp.where(
+        is_luma_b, int(ac_np[0, 0xF0]) & 0xFFFFF, int(ac_np[1, 0xF0]) & 0xFFFFF
+    )
+    zrl_len = jnp.where(
+        is_luma_b, int(ac_np[0, 0xF0]) >> 20, int(ac_np[1, 0xF0]) >> 20
+    )
 
     ac_bits = jnp.where(is_nonzero, nz_bits, jnp.where(zrl_here, zrl_code, 0))
     ac_len = jnp.where(is_nonzero, nz_len, jnp.where(zrl_here, zrl_len, 0))
 
     # ---- EOB slot (slot 64): emitted iff the last zigzag coefficient is 0 ----
     eob_needed = z[:, 63] == 0
-    eob_bits = jnp.where(eob_needed, ac_code_lut[tbl, 0x00], 0)
-    eob_len = jnp.where(eob_needed, ac_len_lut[tbl, 0x00], 0)
+    eob_code = jnp.where(
+        is_luma, int(ac_np[0, 0x00]) & 0xFFFFF, int(ac_np[1, 0x00]) & 0xFFFFF
+    )
+    eob_clen = jnp.where(
+        is_luma, int(ac_np[0, 0x00]) >> 20, int(ac_np[1, 0x00]) >> 20
+    )
+    eob_bits = jnp.where(eob_needed, eob_code, 0)
+    eob_len = jnp.where(eob_needed, eob_clen, 0)
 
     # ---- assemble slots: [DC | AC lanes 1..63 | EOB] per entry ----
     slot_bits = jnp.concatenate(
@@ -239,7 +275,12 @@ def encode_scan(
         [dc_len[:, None], ac_len[:, 1:], eob_len[:, None]], axis=1
     ).astype(jnp.int32)
 
-    return pack_entries(slot_bits, slot_lens, capacity_bytes)
+    if packer == "xla":
+        return pack_entries(slot_bits, slot_lens, capacity_bytes)
+    return pack_entries_pallas(
+        slot_bits, slot_lens, capacity_bytes,
+        interpret=(packer == "pallas_interpret"),
+    )
 
 
 def final_dc(
@@ -297,30 +338,16 @@ def _split_slot_words(
     return offsets >> 5, hi, lo
 
 
-def pack_entries(
-    slot_bits: jnp.ndarray, slot_lens: jnp.ndarray, capacity_bytes: int
+def _pack_level1(
+    slot_bits: jnp.ndarray, slot_lens: jnp.ndarray
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Scatter-free bitstream packing of (E, S) per-entry slot codes.
+    """(E, S) slot codes -> ((E, ENTRY_WORDS) u32 buffers, (E,) bit counts).
 
-    Two levels, both plain vector code (TPU scatters serialize; this doesn't
-    use any):
-
-    1. Per entry: slots pack into a private (ENTRY_WORDS,) u32 buffer via a
-       masked-OR sweep — S fused elementwise steps over (E, ENTRY_WORDS),
-       no cross-entry interaction.
-    2. Global: entry e's stream starts at bit offset O[e] (one exclusive
-       cumsum). Each *output word* gathers the <= ASSEMBLE_CANDIDATES
-       entries that can intersect it (found with one searchsorted) and ORs
-       32-bit windows extracted from their entry buffers. Out-of-range
-       candidates self-mask: their extraction indices fall outside the
-       entry buffer and read as zero.
-
-    Returns (bytes_u8 (capacity_bytes,), total_bits).
+    Per entry: slots pack into a private (ENTRY_WORDS,) u32 buffer via a
+    masked-OR sweep — S fused elementwise steps over (E, ENTRY_WORDS), no
+    cross-entry interaction.
     """
-    assert capacity_bytes % 4 == 0
     num_entries, slots = slot_bits.shape
-
-    # ---- level 1: per-entry packing ----
     local_off = jnp.cumsum(slot_lens, axis=1) - slot_lens  # (E, S) exclusive
     entry_bits = local_off[:, -1] + slot_lens[:, -1]  # (E,)
     word_idx, hi, lo = _split_slot_words(slot_bits, slot_lens, local_off)
@@ -331,6 +358,61 @@ def pack_entries(
         w = word_idx[:, s : s + 1]
         entry_words = entry_words | jnp.where(col == w, hi[:, s : s + 1], 0)
         entry_words = entry_words | jnp.where(col == w + 1, lo[:, s : s + 1], 0)
+    return entry_words, entry_bits
+
+
+def _words_to_bytes(words: jnp.ndarray) -> jnp.ndarray:
+    """Big-endian byte serialization: MSB-first bitstream order."""
+    shifts = jnp.array([24, 16, 8, 0], dtype=jnp.uint32)
+    byte_matrix = (words[:, None] >> shifts[None, :]) & jnp.uint32(0xFF)
+    return byte_matrix.reshape(-1).astype(jnp.uint8)
+
+
+def pack_entries_pallas(
+    slot_bits: jnp.ndarray,
+    slot_lens: jnp.ndarray,
+    capacity_bytes: int,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Level-1 masked-OR + sequential Pallas bitstream assembly.
+
+    Same contract as pack_entries; the capacity buffer must fit VMEM
+    (kernels/pack_pallas.MAX_VMEM_CAPACITY) — the pipeline falls back to
+    pack_entries beyond that.
+    """
+    from jpeg_encoder_tpu.kernels import pack_pallas
+
+    assert capacity_bytes % 4 == 0
+    entry_words, entry_bits = _pack_level1(slot_bits, slot_lens)
+    start_bit = jnp.cumsum(entry_bits) - entry_bits
+    total_bits = (start_bit[-1] + entry_bits[-1]).astype(jnp.int32)
+    words = pack_pallas.assemble_bitstream_pallas(
+        entry_words, start_bit.astype(jnp.int32), capacity_bytes, interpret
+    )
+    return _words_to_bytes(words), total_bits
+
+
+def pack_entries(
+    slot_bits: jnp.ndarray, slot_lens: jnp.ndarray, capacity_bytes: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Scatter-free bitstream packing of (E, S) per-entry slot codes.
+
+    Two levels, both plain vector code (TPU scatters serialize; this doesn't
+    use any):
+
+    1. Per entry: _pack_level1's masked-OR sweep.
+    2. Global: entry e's stream starts at bit offset O[e] (one exclusive
+       cumsum). Each *output word* gathers the <= ASSEMBLE_CANDIDATES
+       entries that can intersect it (found with one searchsorted) and ORs
+       32-bit windows extracted from their entry buffers. Out-of-range
+       candidates self-mask: their extraction indices fall outside the
+       entry buffer and read as zero.
+
+    Returns (bytes_u8 (capacity_bytes,), total_bits).
+    """
+    assert capacity_bytes % 4 == 0
+    num_entries, _ = slot_bits.shape
+    entry_words, entry_bits = _pack_level1(slot_bits, slot_lens)
 
     # ---- level 2: output-centric assembly ----
     start_bit = jnp.cumsum(entry_bits) - entry_bits  # O[e], strictly increasing
@@ -364,9 +446,7 @@ def pack_entries(
         # whose windows are zero once p >= its bit length (idempotent OR
         # makes the one genuine repeat harmless).
 
-    shifts = jnp.array([24, 16, 8, 0], dtype=jnp.uint32)
-    byte_matrix = (out[:, None] >> shifts[None, :]) & jnp.uint32(0xFF)
-    return byte_matrix.reshape(-1).astype(jnp.uint8), total_bits
+    return _words_to_bytes(out), total_bits
 
 
 def pack_bits(

@@ -62,6 +62,23 @@ def next_capacity_bytes(geom: FrameGeometry, capacity_bytes: int) -> int:
     return min(capacity_bytes * 8, worst_case_capacity_bytes(geom))
 
 
+def default_packer(capacity_bytes: int) -> str:
+    """Pick the bitstream packer for the current backend.
+
+    On TPU the sequential Pallas assembly kernel wins by a wide margin as
+    long as the capacity buffer fits its VMEM budget; everywhere else (and
+    for oversized buffers) the gather-based XLA packer is the fallback.
+    """
+    from jpeg_encoder_tpu.kernels import pack_pallas
+
+    if (
+        jax.default_backend() == "tpu"
+        and capacity_bytes <= pack_pallas.MAX_VMEM_CAPACITY
+    ):
+        return "pallas"
+    return "xla"
+
+
 def encode_core(
     rgb: jnp.ndarray,
     geom: FrameGeometry,
@@ -82,6 +99,7 @@ def encode_core(
     cb = sample.subsample_plane(sample.pad_plane(cb, geom), geom)
     cr = sample.subsample_plane(sample.pad_plane(cr, geom), geom)
 
+    packer = default_packer(capacity_bytes)
     if use_pallas:
         from jpeg_encoder_tpu.kernels import dct_pallas
 
@@ -94,7 +112,8 @@ def encode_core(
         cb_z = kernel(sample.blockify(cb), False, interpret)
         cr_z = kernel(sample.blockify(cr), False, interpret)
         payload, total_bits = entropy.encode_scan(
-            y_z, cb_z, cr_z, geom, capacity_bytes, coeffs_zigzagged=True
+            y_z, cb_z, cr_z, geom, capacity_bytes, coeffs_zigzagged=True,
+            packer=packer,
         )
         inv_zz = jnp.asarray(np.argsort(tables.ZIGZAG_ORDER))
         y_q = y_z[:, inv_zz].astype(jnp.int16)
@@ -111,7 +130,7 @@ def encode_core(
             sample.blockify(cr), tables.C_QUANT_TABLE, algorithm, fast_dct
         )
         payload, total_bits = entropy.encode_scan(
-            y_q, cb_q, cr_q, geom, capacity_bytes
+            y_q, cb_q, cr_q, geom, capacity_bytes, packer=packer
         )
     return {
         "payload": payload,

@@ -157,3 +157,29 @@ def test_pack_bits_word_boundary_spans():
         int(stream.ljust(32 * 8, "0"), 2).to_bytes(32, "big"), dtype=np.uint8
     )
     assert np.array_equal(got, expected)
+
+
+def test_pallas_packer_matches_xla(rng):
+    """The sequential Pallas assembly kernel (interpret mode on CPU) must
+    produce the identical payload to the gather-based XLA packer."""
+    import jax.numpy as jnp
+
+    from jpeg_encoder_tpu.config import EncoderConfig
+
+    geom = EncoderConfig(subsampling_ratio=(4, 2, 0)).geometry(48, 32)
+    y = rng.integers(-80, 80, (geom.num_luma_blocks, 64)).astype(np.int16)
+    cb = rng.integers(-40, 40, (geom.num_chroma_blocks, 64)).astype(np.int16)
+    cr = rng.integers(-40, 40, (geom.num_chroma_blocks, 64)).astype(np.int16)
+    for a in (y, cb, cr):
+        a[:, 20:] = np.where(rng.random(a[:, 20:].shape) < 0.9, 0, a[:, 20:])
+    cap = 1 << 14
+    p1, b1 = entropy.encode_scan(
+        jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr), geom, cap,
+        packer="xla",
+    )
+    p2, b2 = entropy.encode_scan(
+        jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr), geom, cap,
+        packer="pallas_interpret",
+    )
+    assert int(b1) == int(b2)
+    assert np.array_equal(np.asarray(p1), np.asarray(p2))
