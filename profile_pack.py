@@ -76,6 +76,12 @@ def timed(name, fn, iters=6):
     log(f"{name:28s} {dt*1e3:9.2f} ms/batch  ({BATCH*H*W/dt/1e6:7.1f} Mpix/s)")
 
 
+pf, bf = scan_with("fused")(yq, cbq, crq)
+pf, bf = np.asarray(pf), np.asarray(bf)
+print("fused bits match:", (bx == bf).all(), file=sys.stderr)
+print("fused payload match:", all((px[i, :nb] == pf[i, :nb]).all() for i in range(BATCH)),
+      file=sys.stderr)
 timed("scan+pack XLA", scan_with("xla"))
 timed("scan+pack PALLAS", scan_with("pallas"))
+timed("scan+pack FUSED", scan_with("fused"))
 log("done")

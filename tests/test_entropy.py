@@ -183,3 +183,54 @@ def test_pallas_packer_matches_xla(rng):
     )
     assert int(b1) == int(b2)
     assert np.array_equal(np.asarray(p1), np.asarray(p2))
+
+
+@pytest.mark.parametrize("ratio", [(4, 4, 4), (4, 2, 2), (4, 2, 0)])
+def test_fused_entropy_kernel_matches_xla(ratio, rng):
+    """The fused entropy kernel (interpret mode on CPU) must produce the
+    identical payload and bit count to the XLA symbolize+pack path."""
+    import jax.numpy as jnp
+
+    from jpeg_encoder_tpu.config import EncoderConfig
+
+    geom = EncoderConfig(subsampling_ratio=ratio).geometry(48, 32)
+    y = rng.integers(-1000, 1000, (geom.num_luma_blocks, 64)).astype(np.int16)
+    cb = rng.integers(-100, 100, (geom.num_chroma_blocks, 64)).astype(np.int16)
+    cr = rng.integers(-100, 100, (geom.num_chroma_blocks, 64)).astype(np.int16)
+    for a in (y, cb, cr):
+        a[:, 10:] = np.where(rng.random(a[:, 10:].shape) < 0.85, 0, a[:, 10:])
+    cap = 1 << 14
+    p1, b1 = entropy.encode_scan(
+        jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr), geom, cap,
+        packer="xla",
+    )
+    p2, b2 = entropy.encode_scan(
+        jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr), geom, cap,
+        packer="fused_interpret",
+    )
+    assert int(b1) == int(b2)
+    assert np.array_equal(np.asarray(p1), np.asarray(p2))
+
+
+def test_fused_entropy_kernel_respects_init_dc(rng):
+    """Cross-shard DC chaining (init_dc) must flow through the fused path."""
+    import jax.numpy as jnp
+
+    from jpeg_encoder_tpu.config import EncoderConfig
+
+    geom = EncoderConfig(subsampling_ratio=(4, 4, 4)).geometry(16, 16)
+    y = rng.integers(-50, 50, (geom.num_luma_blocks, 64)).astype(np.int16)
+    cb = rng.integers(-50, 50, (geom.num_chroma_blocks, 64)).astype(np.int16)
+    cr = rng.integers(-50, 50, (geom.num_chroma_blocks, 64)).astype(np.int16)
+    init = jnp.asarray([7, -3, 11], jnp.int32)
+    cap = 1 << 12
+    p1, b1 = entropy.encode_scan(
+        jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr), geom, cap,
+        init_dc=init, packer="xla",
+    )
+    p2, b2 = entropy.encode_scan(
+        jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr), geom, cap,
+        init_dc=init, packer="fused_interpret",
+    )
+    assert int(b1) == int(b2)
+    assert np.array_equal(np.asarray(p1), np.asarray(p2))
