@@ -161,7 +161,7 @@ class EncoderConfig:
     # estimate (typical Annex-K-table payloads are 0.1-0.4 B/px), not a
     # bound: the pipeline reports the true bit length, detects overflow, and
     # automatically retries with a larger buffer (pipeline.encode_array).
-    capacity_bytes_per_pixel: float = 1.0
+    capacity_bytes_per_pixel: float = 0.5
 
     def geometry(self, width: int, height: int) -> FrameGeometry:
         return FrameGeometry.create(width, height, self.subsampling_ratio)

@@ -8,12 +8,11 @@ tile by tile, with no HBM intermediates:
    64-lane axis done as log-step shift networks (pltpu.roll + masks), bit
    lengths via the f32 exponent trick (|coeff| < 2^24 so the conversion is
    exact; no clz needed);
-2. Huffman (code, length) lookup as an unrolled select chain over the valid
-   symbol space (run<<4|size with size in 1..10, 160 symbols; 12 DC
-   categories) with the packed (len<<20|code) constants baked into the
-   instruction stream — the VPU cannot gather, and this Mosaic toolchain
-   rejects the in-kernel reshapes a one-hot MXU matmul would need. Luma and
-   chroma constants merge with one per-entry select per step;
+2. Huffman (code, length) lookup via the TPU's per-sublane lane gather
+   (jnp.take_along_axis lowers to tpu.dynamic_gather): the packed
+   (len<<20|code) tables live in vregs as (1, 128) rows and each 256-entry
+   AC table costs two gathers + a select (symbol high bit picks the half);
+   luma/chroma resolve with one more select;
 3. per-entry slot packing — exclusive cumsum over the 65 slot lanes, then
    the masked-OR sweep into (TILE, ENTRY_WORDS) buffers, all in VMEM;
 4. sequential assembly into a VMEM-resident output (same scheme as
@@ -41,7 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from jpeg_encoder_tpu import tables
 
-TILE = 128          # entries per grid step
+TILE = 256          # entries per grid step
 ENTRY_WORDS = 56    # worst-case words per entry (65 slots * 27 bits)
 MAX_VMEM_CAPACITY = 8 * 1024 * 1024
 
@@ -55,36 +54,54 @@ def _packed(table_id: int, sym: int, kind: str) -> int:
 
 
 @functools.cache
-def _ac_pairs() -> tuple[tuple[int, int, int], ...]:
-    """(symbol, luma_packed, chroma_packed) for every emittable AC symbol.
+def _lut_rows() -> np.ndarray:
+    """(8, 128) i32: packed (len<<20|code) tables laid out as vreg rows.
 
-    Nonzero coefficients emit run<<4|size with size in 1..10 (the reference
-    asserts AC size <= 10, entropy_coding.rs:188-191); ZRL and EOB are
-    handled as dedicated scalars in the kernel.
+    Rows 0/1: luma AC symbols 0..127 / 128..255; rows 2/3: chroma AC;
+    row 4: luma DC categories 0..11 (zero-padded); row 5: chroma DC.
+    Symbols stay < 256 because inputs are int16 (bit length <= 15).
     """
-    return tuple(
-        (run << 4 | size, _packed(0, run << 4 | size, "ac"),
-         _packed(1, run << 4 | size, "ac"))
-        for run in range(16)
-        for size in range(1, 11)
-    )
+    rows = np.zeros((8, 128), np.int32)
+    for sym in range(256):
+        rows[sym >> 7, sym & 127] = _packed(0, sym, "ac")
+        rows[2 + (sym >> 7), sym & 127] = _packed(1, sym, "ac")
+    for bl in range(12):
+        rows[4, bl] = _packed(0, bl, "dc")
+        rows[5, bl] = _packed(1, bl, "dc")
+    return rows
 
 
-@functools.cache
-def _dc_pairs() -> tuple[tuple[int, int, int], ...]:
-    """DC categories 0..11 (the reference asserts <= 11)."""
-    return tuple(
-        (bl, _packed(0, bl, "dc"), _packed(1, bl, "dc")) for bl in range(12)
-    )
+def _gather_row(lut_ref, row, idx128):
+    """Per-lane lookup of idx128 (T, 128) in lut row `row` (128 entries)."""
+    t = idx128.shape[0]
+    tbl = jnp.broadcast_to(lut_ref[row : row + 1, :], (t, 128))
+    return jnp.take_along_axis(tbl, idx128, axis=1)
 
 
-def _select_lut(sym, is_luma, pairs):
-    """Unrolled gather-free lookup: select chain over the symbol constants."""
-    acc = jnp.zeros(sym.shape, jnp.int32)
-    for s_val, y_val, c_val in pairs:
-        tab = jnp.where(is_luma, y_val, c_val)
-        acc = jnp.where(sym == s_val, tab, acc)
-    return acc
+def _gather_lut(sym, is_luma, lut_ref, dc: bool):
+    """(T, W) symbols -> packed (len<<20|code), luma/chroma per entry."""
+    t, w = sym.shape
+    idx = sym & 127
+    if w < 128:
+        idx = jnp.pad(idx, ((0, 0), (0, 128 - w)))
+    else:
+        assert w == 128
+    if dc:
+        y = _gather_row(lut_ref, 4, idx)[:, :w]
+        c = _gather_row(lut_ref, 5, idx)[:, :w]
+    else:
+        hi_half = sym >= 128
+        y = jnp.where(
+            hi_half,
+            _gather_row(lut_ref, 1, idx)[:, :w],
+            _gather_row(lut_ref, 0, idx)[:, :w],
+        )
+        c = jnp.where(
+            hi_half,
+            _gather_row(lut_ref, 3, idx)[:, :w],
+            _gather_row(lut_ref, 2, idx)[:, :w],
+        )
+    return jnp.where(is_luma, y, c)
 
 
 def _lane_iota(shape, dim):
@@ -124,16 +141,19 @@ def _bit_length_f32(av):
 
 
 def _entropy_kernel(
-    z_ref, dcdiff_ref,
+    z_ref, dcdiff_ref, lut_ref,
     out_ref, bits_ref,
-    ebuf, offs, carry,
+    ebuf, offs, carry, acc2,
     *, tile, num_entries, blocks_per_mcu, hv, num_words, lut_scalars,
+    n_chains,
 ):
     pid = pl.program_id(0)
 
     @pl.when(pid == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
+        if n_chains > 1:
+            acc2[:] = jnp.zeros_like(acc2)
         carry[0] = 0
 
     t = tile
@@ -149,7 +169,7 @@ def _entropy_kernel(
     dc_ampl = jnp.where(diff < 0, diff + (1 << dc_bl) - 1, diff) & (
         (1 << dc_bl) - 1
     )
-    dc_cl = _select_lut(dc_bl, is_luma, _dc_pairs())   # (T, 1)
+    dc_cl = _gather_lut(dc_bl, is_luma, lut_ref, dc=True)  # (T, 1)
     dc_bits = ((dc_cl & 0xFFFFF) << dc_bl) | dc_ampl
     dc_len = (dc_cl >> 20) + dc_bl
 
@@ -166,7 +186,7 @@ def _entropy_kernel(
     ac_bl = _bit_length_f32(jnp.abs(z))
     ac_sym = ((zeros_before & 15) << 4) | ac_bl
     ac_ampl = jnp.where(z < 0, z + (1 << ac_bl) - 1, z) & ((1 << ac_bl) - 1)
-    nz_cl = _select_lut(ac_sym, is_luma, _ac_pairs())  # (T, 64)
+    nz_cl = _gather_lut(ac_sym, is_luma, lut_ref, dc=False)  # (T, 64)
     nz_len = (nz_cl >> 20) + ac_bl
     nz_bits = ((nz_cl & 0xFFFFF) << ac_bl) | ac_ampl
 
@@ -237,29 +257,78 @@ def _entropy_kernel(
     offs[:] = jnp.minimum(offs_val, max_off).astype(jnp.int32)
 
     # ---- sequential assembly into the resident output ----
+    # The loop is latency-bound: each RMW depends on the previous one
+    # through the output buffer. Two mitigations (measured on chip):
+    # entries merge in PAIRS first (registers, vector ops — a pair spans
+    # <= 56 + 54 + 2 = 112 words, still one 128-lane row), and pairs
+    # round-robin across up to four INDEPENDENT accumulators (out_ref and
+    # row-bands of acc2), giving the scheduler that many interleavable RMW
+    # dependency chains. Every bit of the stream is written by exactly one
+    # entry, so OR-ing the buffers at the end reproduces the single-stream
+    # result exactly.
     lane128 = _lane_iota((1, 128), 1)
 
-    def body(i, _):
-        off = offs[i, 0]
-        q = off >> 5
-        s = (off & 31).astype(jnp.uint32)
+    def load128(i):
+        row = ebuf[i, :].reshape(1, ENTRY_WORDS)
+        return jnp.pad(row, ((0, 0), (0, 128 - ENTRY_WORDS)))
+
+    def shift_bits(v, nbits):
+        """Shift a (1, 128) word vector right by nbits (< 4096) bits."""
+        w = nbits >> 5
+        s = (nbits & 31).astype(jnp.uint32)
+        spill = jnp.where(s == 0, jnp.uint32(0), v << (32 - s))
+        c = (v >> s) | pltpu.roll(spill, 1, 1)
+        return jnp.where(lane128 >= w, pltpu.roll(c, w, 1), 0)
+
+    def pair_contrib(i):
+        """(row, (2, 128) contribution) for the pair (2i, 2i+1)."""
+        a_off = offs[2 * i, 0]
+        b_off = offs[2 * i + 1, 0]
+        pair = load128(2 * i) | shift_bits(load128(2 * i + 1), b_off - a_off)
+        q = a_off >> 5
+        s = (a_off & 31).astype(jnp.uint32)
         r = q >> 7
         l = q & 127
-        words = ebuf[i, :].reshape(1, ENTRY_WORDS)
-        w128 = jnp.pad(words, ((0, 0), (0, 128 - ENTRY_WORDS)))
-        spill = jnp.where(s == 0, jnp.uint32(0), w128 << (32 - s))
-        c = (w128 >> s) | pltpu.roll(spill, 1, 1)
+        spill = jnp.where(s == 0, jnp.uint32(0), pair << (32 - s))
+        c = (pair >> s) | pltpu.roll(spill, 1, 1)
         rolled = pltpu.roll(c, l, 1)
         contrib = jnp.concatenate(
             [jnp.where(lane128 >= l, rolled, 0),
              jnp.where(lane128 < l, rolled, 0)],
             axis=0,
         )
-        cur = out_ref[pl.ds(r, 2), :]
-        out_ref[pl.ds(r, 2), :] = cur | contrib
-        return 0
+        return r, contrib
 
-    jax.lax.fori_loop(0, t, body, 0, unroll=False)
+    nrows = out_ref.shape[0]
+
+    def rmw(target, band, r, c):
+        cur = target[pl.ds(band * nrows + r, 2), :]
+        target[pl.ds(band * nrows + r, 2), :] = cur | c
+
+    if n_chains == 1:
+        def body(i, _):
+            r0, c0 = pair_contrib(i)
+            rmw(out_ref, 0, r0, c0)
+            return 0
+
+        jax.lax.fori_loop(0, t // 2, body, 0, unroll=False)
+    else:
+        def body(i, _):
+            r0, c0 = pair_contrib(n_chains * i)
+            rmw(out_ref, 0, r0, c0)
+            for k in range(1, n_chains):
+                rk, ck = pair_contrib(n_chains * i + k)
+                rmw(acc2, k - 1, rk, ck)
+            return 0
+
+        jax.lax.fori_loop(0, t // (2 * n_chains), body, 0, unroll=False)
+
+        @pl.when(pid == pl.num_programs(0) - 1)
+        def _():
+            merged = out_ref[:]
+            for k in range(n_chains - 1):
+                merged = merged | acc2[k * nrows : (k + 1) * nrows, :]
+            out_ref[:] = merged
 
 
 @functools.cache
@@ -289,6 +358,14 @@ def encode_entropy_fused(
     num_entries = z.shape[0]
     num_words = capacity_bytes // 4
     rows = -(-(num_words // 128 + 2) // 8) * 8
+    # Extra accumulators (independent RMW dependency chains) trade VMEM
+    # for merge-loop throughput; scale them down as capacity grows.
+    if capacity_bytes <= (1 << 21):
+        n_chains = 8
+    elif capacity_bytes <= (1 << 23):
+        n_chains = 2
+    else:
+        n_chains = 1
 
     padded_e = -(-num_entries // TILE) * TILE
     if padded_e != num_entries:
@@ -304,6 +381,7 @@ def encode_entropy_fused(
         hv=geom.h_factor * geom.v_factor,
         num_words=num_words,
         lut_scalars=_lut_scalars(),
+        n_chains=n_chains,
     )
     out, bits = pl.pallas_call(
         kernel,
@@ -311,6 +389,7 @@ def encode_entropy_fused(
         in_specs=[
             pl.BlockSpec((TILE, 64), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((rows, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -324,10 +403,15 @@ def encode_entropy_fused(
             pltpu.VMEM((TILE, ENTRY_WORDS), jnp.uint32),
             pltpu.VMEM((TILE, 1), jnp.int32),
             pltpu.SMEM((1,), jnp.int32),
+            pltpu.VMEM((max(n_chains - 1, 1) * rows, 128), jnp.uint32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(
         z.astype(jnp.int32),
         dc_diff.astype(jnp.int32).reshape(-1, 1),
+        jnp.asarray(_lut_rows()),
     )
     return out.reshape(-1)[:num_words], bits[0, 0]

@@ -14,7 +14,7 @@ from jpeg_encoder_tpu.ops import color, dct, entropy, sample
 H, W, BATCH = 1088, 1920, 8
 config = EncoderConfig(subsampling_ratio=(4, 2, 0))
 geom = config.geometry(W, H)
-cap = pipeline.default_capacity_bytes(geom, 1.0)
+cap = pipeline.default_capacity_bytes(geom, 0.5)
 
 
 def log(m): print(m, file=sys.stderr, flush=True)
