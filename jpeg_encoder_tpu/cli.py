@@ -54,11 +54,32 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument(
         "--timing", action="store_true", help="print per-image timing as JSON"
     )
+    parser.add_argument(
+        "--trace", default="", metavar="DIR",
+        help="capture a jax.profiler trace of the encode into DIR "
+        "(view with TensorBoard / xprof)",
+    )
     return parser
 
 
 def default_output_path(image_path: str) -> str:
     return image_path[: -len(".bmp")] + ".jpeg"
+
+
+def _maybe_trace(trace_dir: str):
+    """jax.profiler trace context when --trace is given (else a no-op).
+
+    The reference's only observability is println! stage banners
+    (main.rs:16-67); the TPU-native equivalent is a real profiler trace of
+    the device program plus the --timing JSON counters.
+    """
+    import contextlib
+
+    if not trace_dir:
+        return contextlib.nullcontext()
+    import jax
+
+    return jax.profiler.trace(trace_dir)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -99,7 +120,8 @@ def main(argv: list[str] | None = None) -> int:
 
     t0 = time.perf_counter()
     try:
-        result = pipeline.encode_file(image_path, output_path, config)
+        with _maybe_trace(args.trace):
+            result = pipeline.encode_file(image_path, output_path, config)
     except (OSError, ValueError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 1

@@ -42,7 +42,7 @@ from jpeg_encoder_tpu import tables
 
 TILE = 256          # entries per grid step
 ENTRY_WORDS = 56    # worst-case words per entry (65 slots * 27 bits)
-MAX_VMEM_CAPACITY = 8 * 1024 * 1024
+MAX_VMEM_CAPACITY = 16 * 1024 * 1024
 
 
 def _packed(table_id: int, sym: int, kind: str) -> int:
@@ -359,13 +359,8 @@ def encode_entropy_fused(
     num_words = capacity_bytes // 4
     rows = -(-(num_words // 128 + 2) // 8) * 8
     # Extra accumulators (independent RMW dependency chains) trade VMEM
-    # for merge-loop throughput; scale them down as capacity grows.
-    if capacity_bytes <= (1 << 21):
-        n_chains = 8
-    elif capacity_bytes <= (1 << 23):
-        n_chains = 2
-    else:
-        n_chains = 1
+    # for merge-loop throughput; spend a ~16 MB accumulator budget.
+    n_chains = min(16, max(1, (16 * (1 << 20)) // capacity_bytes))
 
     padded_e = -(-num_entries // TILE) * TILE
     if padded_e != num_entries:
