@@ -157,7 +157,7 @@ def _entropy_kernel(
         carry[0] = 0
 
     t = tile
-    z = z_ref[:]                     # (T, 64) i32, zigzag order
+    z = z_ref[:].astype(jnp.int32)   # (T, 64) zigzag order; i16 in HBM
     entry_idx = pid * t + _lane_iota((t, 1), 0)
     valid = entry_idx < num_entries
     is_luma = (entry_idx % blocks_per_mcu) < hv        # (T, 1) bool
@@ -405,7 +405,7 @@ def encode_entropy_fused(
         ),
         interpret=interpret,
     )(
-        z.astype(jnp.int32),
+        z,
         dc_diff.astype(jnp.int32).reshape(-1, 1),
         jnp.asarray(_lut_rows()),
     )

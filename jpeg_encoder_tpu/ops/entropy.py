@@ -168,27 +168,27 @@ def encode_scan(
     # MCU k's entries are [superblock k row-major | cb k | cr k]
     # (entropy_coding.rs:97-124). Superblocks past the chroma-driven MCU
     # count are never emitted (quirk geometries; see _luma_scan_order).
+    # Marshalling keeps the input dtype (usually int16) — the layout work
+    # is HBM-bandwidth-bound, and the fused kernel casts tiles in VMEM.
     by, bx = geom.luma_blocks_y, geom.luma_blocks_x
     sup = (
-        y_coeffs.astype(jnp.int32)
+        y_coeffs
         .reshape(by // v, v, bx // h, h, 64)
         .transpose(0, 2, 1, 3, 4)
         .reshape(-1, hv, 64)
     )
     y_mcu = sup[:m]  # (m, hv, 64)
-    cb32 = cb_coeffs.astype(jnp.int32)
-    cr32 = cr_coeffs.astype(jnp.int32)
     rows = jnp.concatenate(
-        [y_mcu, cb32[:, None, :], cr32[:, None, :]], axis=1
+        [y_mcu, cb_coeffs[:, None, :], cr_coeffs[:, None, :]], axis=1
     ).reshape(m * bpm, 64)
     z = rows if coeffs_zigzagged else rows[:, zz]
 
     # ---- DC differences per component chain ----
     if init_dc is None:
         init_dc = jnp.zeros((3,), jnp.int32)
-    diff_y = _seq_diff(y_mcu[:, :, 0].reshape(-1), init_dc[0])
-    diff_cb = _seq_diff(cb32[:, 0], init_dc[1])
-    diff_cr = _seq_diff(cr32[:, 0], init_dc[2])
+    diff_y = _seq_diff(y_mcu[:, :, 0].astype(jnp.int32).reshape(-1), init_dc[0])
+    diff_cb = _seq_diff(cb_coeffs[:, 0].astype(jnp.int32), init_dc[1])
+    diff_cr = _seq_diff(cr_coeffs[:, 0].astype(jnp.int32), init_dc[2])
     entry_diff = jnp.concatenate(
         [diff_y.reshape(m, hv), diff_cb[:, None], diff_cr[:, None]], axis=1
     ).reshape(m * bpm)
@@ -203,6 +203,7 @@ def encode_scan(
             interpret=(packer == "fused_interpret"),
         )
         return _words_to_bytes(words), total_bits
+    z = z.astype(jnp.int32)
 
     is_luma = jnp.asarray(
         np.tile(np.array([True] * hv + [False, False]), m)
