@@ -236,13 +236,17 @@ def _entropy_kernel(
     )
     word_idx = local_off >> 5
 
+    # One comparison per slot: the spill (lo) lands one word after the
+    # main (hi) contribution, so collect spills against the same mask and
+    # shift the whole spill accumulator by one lane at the end.
     col = _lane_iota((t, ENTRY_WORDS), 1)
     acc = jnp.zeros((t, ENTRY_WORDS), jnp.uint32)
+    acc_lo = jnp.zeros((t, ENTRY_WORDS), jnp.uint32)
     for s in range(65):
-        w = word_idx[:, s : s + 1]
-        acc = acc | jnp.where(col == w, hi[:, s : s + 1], 0)
-        acc = acc | jnp.where(col == w + 1, lo[:, s : s + 1], 0)
-    ebuf[:] = acc
+        m = col == word_idx[:, s : s + 1]
+        acc = acc | jnp.where(m, hi[:, s : s + 1], 0)
+        acc_lo = acc_lo | jnp.where(m, lo[:, s : s + 1], 0)
+    ebuf[:] = acc | _shift_lanes(acc_lo, 1, jnp.uint32(0))
 
     # ---- tile-local exclusive offsets + global carry ----
     eb_sub = entry_bits  # (T, 1): cumsum along sublanes via transpose trick
