@@ -40,7 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from jpeg_encoder_tpu import tables
 
-TILE = 256          # entries per grid step
+TILE = 512          # entries per grid step
 ENTRY_WORDS = 56    # worst-case words per entry (65 slots * 27 bits)
 MAX_VMEM_CAPACITY = 16 * 1024 * 1024
 
