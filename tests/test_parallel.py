@@ -106,3 +106,48 @@ def test_tiled_rejects_indivisible_rows(mesh8, rng):
     rgb = rng.integers(0, 256, size=(48, 32, 3), dtype=np.uint8)  # 3 MCU rows
     with pytest.raises(ValueError, match="divide"):
         tiled.encode_tiled(rgb, config, mesh8)
+
+
+def test_encode_dataset_manifest_and_resume(tmp_path, rng):
+    """Multi-host dataset sharding, degenerate single-process case: outputs,
+    manifest bookkeeping, and resume-skip must all work."""
+    from jpeg_encoder_tpu.config import EncoderConfig
+    from jpeg_encoder_tpu.io import bmp
+    from jpeg_encoder_tpu.parallel import multihost
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    src.mkdir()
+    paths = []
+    for i in range(5):
+        rgb = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+        p = src / f"img{i}.bmp"
+        bmp.write(p, rgb)
+        paths.append(p)
+    # One differently-sized image exercises the dimension grouping.
+    odd = src / "odd.bmp"
+    bmp.write(odd, rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8))
+    paths.append(odd)
+
+    config = EncoderConfig(subsampling_ratio=(4, 2, 0))
+    res = multihost.encode_dataset(paths, str(out), config)
+    assert res.encoded == 6 and res.skipped == 0
+    for p in paths:
+        assert (out / (p.stem + ".jpeg")).exists()
+    summary = multihost.global_summary(res)
+    assert summary["encoded"] == 6 and summary["processes"] == 1
+
+    # Resume: everything already recorded -> all skipped.
+    res2 = multihost.encode_dataset(paths, str(out), config)
+    assert res2.encoded == 0 and res2.skipped == 6
+
+    # Deleting one output forces just that file to re-encode.
+    (out / "img3.jpeg").unlink()
+    res3 = multihost.encode_dataset(paths, str(out), config)
+    assert res3.encoded == 1 and res3.skipped == 5
+
+    # Outputs are the standard pipeline bytes.
+    from jpeg_encoder_tpu import pipeline
+
+    want = pipeline.encode_array(bmp.read(paths[0]), config).file_bytes
+    assert (out / "img0.jpeg").read_bytes() == want
