@@ -162,6 +162,11 @@ class EncoderConfig:
     # bound: the pipeline reports the true bit length, detects overflow, and
     # automatically retries with a larger buffer (pipeline.encode_array).
     capacity_bytes_per_pixel: float = 0.5
+    # Check the reference's entropy-range invariants (DC difference category
+    # <= 11, AC size <= 10 — panics in entropy_coding.rs:153-155,188-191)
+    # and raise host-side before emitting a corrupt scan. Unreachable for
+    # valid u8 image input, so off by default (costs one extra reduction).
+    validate: bool = False
 
     def geometry(self, width: int, height: int) -> FrameGeometry:
         return FrameGeometry.create(width, height, self.subsampling_ratio)

@@ -6,8 +6,23 @@ reference's per-pixel scalar loop (colorspace.rs:5-15, jpeg_image.rs:121-134).
 
 Numerics contract: float32 with per-operation rounding and the same
 association order as the reference, final cast truncating toward zero with
-saturation (Rust `as u8`). Verified exhaustively against the oracle over all
-2^24 RGB triples in tests.
+saturation (Rust `as u8`).
+
+The per-operation rounding is load-bearing: contracting `a * b + c` into
+an FMA merges two roundings into one and flips pixels whose exact value
+lands on a rounding tie (e.g. RGB (1, 233, 245): the reference's f32 chain
+hits the exact tie 164.99999237 and rounds-to-even to 165.0; the FMA's
+exact product steers it to 164.99998 — truncating to 164). Rust never
+contracts (LLVM default fp-contract=off), so the oracle is ground truth.
+
+Backend status, measured exhaustively over all 2^24 RGB triples
+(tools/hw_parity_sweep.py --color):
+* TPU: 0 mismatches — bit-exact.
+* XLA:CPU: ~3.5k triples (2e-4) flip by one; the CPU backend forms FMAs
+  even across jax.lax.optimization_barrier / reduce_precision (both were
+  tried and are folded away), so it cannot currently be pinned to per-op
+  rounding. The CPU test suite stays deterministic (fixed seeds), and the
+  NumPy oracle carries the exactness contract there.
 """
 
 from __future__ import annotations

@@ -297,6 +297,50 @@ def encode_scan(
     )
 
 
+def coefficient_ranges(
+    y_coeffs: jnp.ndarray,
+    cb_coeffs: jnp.ndarray,
+    cr_coeffs: jnp.ndarray,
+    geom: FrameGeometry,
+    init_dc: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(max |DC difference|, max |AC coefficient|) over the whole scan.
+
+    The reference panics when a DC difference needs more than 11 bits or an
+    AC coefficient more than 10 (entropy_coding.rs:153-155,188-191) — both
+    unreachable for valid u8 image input, but reachable when callers feed
+    raw coefficient arrays. The TPU build checks these host-side
+    (pipeline.validate_scan_ranges) instead of trusting kernels to trap.
+    """
+    h, v = geom.h_factor, geom.v_factor
+    m = geom.num_mcus
+    by, bx = geom.luma_blocks_y, geom.luma_blocks_x
+    y_mcu = (
+        y_coeffs.astype(jnp.int32)
+        .reshape(by // v, v, bx // h, h, 64)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(-1, h * v, 64)
+    )[:m]
+    if init_dc is None:
+        init_dc = jnp.zeros((3,), jnp.int32)
+    diffs = [
+        _seq_diff(y_mcu[:, :, 0].reshape(-1), init_dc[0]),
+        _seq_diff(cb_coeffs[:, 0].astype(jnp.int32), init_dc[1]),
+        _seq_diff(cr_coeffs[:, 0].astype(jnp.int32), init_dc[2]),
+    ]
+    max_dc = jnp.maximum(
+        jnp.max(jnp.abs(diffs[0])),
+        jnp.maximum(jnp.max(jnp.abs(diffs[1])), jnp.max(jnp.abs(diffs[2]))),
+    )
+    acs = [
+        jnp.max(jnp.abs(y_mcu[:, :, 1:])),
+        jnp.max(jnp.abs(cb_coeffs[:, 1:].astype(jnp.int32))),
+        jnp.max(jnp.abs(cr_coeffs[:, 1:].astype(jnp.int32))),
+    ]
+    max_ac = jnp.maximum(acs[0], jnp.maximum(acs[1], acs[2]))
+    return max_dc, max_ac
+
+
 def final_dc(
     y_coeffs: jnp.ndarray,
     cb_coeffs: jnp.ndarray,

@@ -87,6 +87,7 @@ def encode_core(
     capacity_bytes: int,
     fast_dct: bool = False,
     use_pallas: bool = False,
+    validate: bool = False,
 ) -> dict[str, jnp.ndarray]:
     """(H, W, 3) uint8 -> packed entropy payload + quantized coefficients.
 
@@ -133,13 +134,18 @@ def encode_core(
         payload, total_bits = entropy.encode_scan(
             y_q, cb_q, cr_q, geom, capacity_bytes, packer=packer
         )
-    return {
+    result = {
         "payload": payload,
         "total_bits": total_bits,
         "y_coeffs": y_q,
         "cb_coeffs": cb_q,
         "cr_coeffs": cr_q,
     }
+    if validate:
+        result["max_dc_diff"], result["max_ac"] = entropy.coefficient_ranges(
+            y_q, cb_q, cr_q, geom
+        )
+    return result
 
 
 @functools.lru_cache(maxsize=64)
@@ -149,15 +155,25 @@ def compiled_encoder(
     capacity_bytes: int,
     fast_dct: bool = False,
     use_pallas: bool = False,
+    validate: bool = False,
 ):
     """Jitted encode_core for one static configuration (cached)."""
 
     def fn(rgb: jnp.ndarray) -> dict[str, jnp.ndarray]:
         return encode_core(
-            rgb, geom, algorithm, capacity_bytes, fast_dct, use_pallas
+            rgb, geom, algorithm, capacity_bytes, fast_dct, use_pallas,
+            validate,
         )
 
     return jax.jit(fn)
+
+
+def validate_scan_ranges(max_dc_diff: int, max_ac: int) -> None:
+    """Raise like the reference panics (entropy_coding.rs:153-155,188-191)."""
+    if max_dc_diff.bit_length() > 11:
+        raise ValueError("DC coefficient bit length greater than 11!")
+    if max_ac.bit_length() > 10:
+        raise ValueError("AC coefficient bit length greater than 10!")
 
 
 @dataclasses.dataclass
@@ -184,8 +200,12 @@ def encode_array(
     while True:
         out = compiled_encoder(
             geom, config.dct_algorithm, capacity, config.fast_dct,
-            config.use_pallas,
+            config.use_pallas, config.validate,
         )(device_rgb)
+        if config.validate:
+            validate_scan_ranges(
+                int(out["max_dc_diff"]), int(out["max_ac"])
+            )
         bit_length = int(out["total_bits"])
         if bit_length <= 8 * capacity:
             break

@@ -153,3 +153,20 @@ def test_capacity_ladder_caps_at_worst_case():
         cap = pipeline.next_capacity_bytes(geom, cap)
     assert cap == worst
     assert pipeline.next_capacity_bytes(geom, cap) == worst
+
+
+def test_validate_flag_passes_for_valid_input(rng):
+    rgb = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    config = EncoderConfig(subsampling_ratio=(4, 2, 0), validate=True)
+    plain = EncoderConfig(subsampling_ratio=(4, 2, 0))
+    a = pipeline.encode_array(rgb, config)
+    b = pipeline.encode_array(rgb, plain)
+    assert a.file_bytes == b.file_bytes
+
+
+def test_validate_scan_ranges_raises_like_reference():
+    with pytest.raises(ValueError, match="DC coefficient bit length"):
+        pipeline.validate_scan_ranges(1 << 11, 0)
+    with pytest.raises(ValueError, match="AC coefficient bit length"):
+        pipeline.validate_scan_ranges(0, 1 << 10)
+    pipeline.validate_scan_ranges((1 << 11) - 1, (1 << 10) - 1)

@@ -43,7 +43,33 @@ def content(rng, kind, h, w):
     return (rng.integers(0, 2, (h, w, 3)) * 255).astype(np.uint8)  # binary
 
 
+def exhaustive_color() -> int:
+    """All 2^24 RGB triples through the jitted conversion vs the oracle."""
+    from jpeg_encoder_tpu.ops import color
+    import jax.numpy as jnp
+
+    r, g, b = np.meshgrid(
+        np.arange(256, dtype=np.uint8),
+        np.arange(256, dtype=np.uint8),
+        np.arange(256, dtype=np.uint8),
+        indexing="ij",
+    )
+    allrgb = np.stack([r.ravel(), g.ravel(), b.ravel()], -1).reshape(
+        4096, 4096, 3
+    )
+    got = [np.asarray(p) for p in jax.jit(color.rgb_to_ycbcr)(jnp.asarray(allrgb))]
+    want = oracle.rgb_to_ycbcr_exact(allrgb)
+    bad = sum(int((a != b).sum()) for a, b in zip(got, want))
+    print(
+        f"exhaustive 2^24 color on {jax.default_backend()}: "
+        f"{bad} mismatched channel values"
+    )
+    return 1 if bad else 0
+
+
 def main() -> int:
+    if "--color" in sys.argv:
+        return exhaustive_color()
     rng = np.random.default_rng(123)
     cases = []
     for ratio in [(4, 4, 4), (4, 2, 2), (4, 2, 0)]:
