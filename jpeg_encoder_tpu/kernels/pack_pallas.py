@@ -1,5 +1,11 @@
 """Pallas bitstream assembly: OR per-entry packed words into one output buffer.
 
+NOTE: the hot path now uses kernels/entropy_pallas.py, which fuses
+symbolization and per-entry packing with this same assembly scheme in one
+kernel. This standalone kernel remains as the middle verification tier
+(ops/entropy.encode_scan packer="pallas"): XLA symbolization + Pallas
+assembly, byte-identical to both the XLA and fused paths.
+
 The XLA packer's output-centric assembly (ops/entropy.pack_entries level 2)
 costs one searchsorted plus ~10 gather rounds over every capacity word —
 gathers serialize on TPU, and profiling showed this stage dominating the

@@ -3,9 +3,13 @@
 The reference runs five sequential host stages with two thread-scope forks
 (main.rs:8-68). Here the entire compute path — color conversion, padding,
 subsampling, both DCT variants, quantization, run-length symbolization and
-Huffman bit packing — is a single XLA program per (geometry, algorithm)
-pair, traced once and cached. The host only decodes the BMP, slices the
-packed payload, stuffs 0xFF bytes, and concatenates the JFIF container.
+Huffman bit packing — is a single device program per (geometry, algorithm,
+capacity) tuple, traced once and cached: XLA ops for the planar stages and
+DCT, and on TPU the fused Pallas entropy kernel
+(kernels/entropy_pallas.py) for everything from coefficients to the packed
+bitstream. The host (C++ where hot: native/host_runtime.cpp) only decodes
+the BMP, slices the packed payload, stuffs 0xFF bytes, and concatenates
+the JFIF container.
 
 The per-channel thread parallelism of the reference (sampling.rs:83-98,
 dct_quant.rs:29-60) is subsumed by batching: all three channels' blocks flow
@@ -39,16 +43,18 @@ def worst_case_capacity_bytes(geom: FrameGeometry) -> int:
 
 
 def default_capacity_bytes(
-    geom: FrameGeometry, bytes_per_pixel: float = 1.0
+    geom: FrameGeometry, bytes_per_pixel: float = 0.5
 ) -> int:
     """Initial output-buffer size: a content estimate, not the worst case.
 
-    The packer's output-assembly cost is proportional to the buffer size, and
-    the worst case (~27 bytes per 8x8 block) is ~100x any real image's
-    payload — sizing for it made assembly the entire pipeline cost. Instead
-    start from `bytes_per_pixel` (default 1 B/px = 8 bits/px, several times
-    the typical Annex-K-table rate), bucket to a power of two so the retry
-    ladder compiles O(log) program variants, and let callers retry with
+    The packer's cost scales with the buffer (VMEM residency for the fused
+    kernel, assembly work for the XLA fallback), and the worst case
+    (~27 bytes per 8x8 block) is ~100x any real image's payload — sizing
+    for it once made packing the entire pipeline cost. Instead start from
+    `bytes_per_pixel` (default 0.5 B/px = 4 bits/px, several times the
+    typical Annex-K-table rate; EncoderConfig.capacity_bytes_per_pixel
+    overrides), bucket to a power of two so the retry ladder compiles
+    O(log) program variants, and let callers retry with
     `next_capacity_bytes` on the (detectable, rare) overflow.
     """
     worst = worst_case_capacity_bytes(geom)

@@ -170,3 +170,19 @@ def test_validate_scan_ranges_raises_like_reference():
     with pytest.raises(ValueError, match="AC coefficient bit length"):
         pipeline.validate_scan_ranges(0, 1 << 10)
     pipeline.validate_scan_ranges((1 << 11) - 1, (1 << 10) - 1)
+
+
+def test_default_packer_selection(monkeypatch):
+    """Fused kernel on TPU within its VMEM budget; XLA everywhere else."""
+    import jax
+
+    from jpeg_encoder_tpu.kernels import entropy_pallas
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert pipeline.default_packer(1 << 20) == "fused"
+    assert pipeline.default_packer(entropy_pallas.MAX_VMEM_CAPACITY) == "fused"
+    assert (
+        pipeline.default_packer(entropy_pallas.MAX_VMEM_CAPACITY + 4) == "xla"
+    )
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert pipeline.default_packer(1 << 20) == "xla"
