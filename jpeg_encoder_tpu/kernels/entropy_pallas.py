@@ -363,8 +363,10 @@ def encode_entropy_fused(
     num_words = capacity_bytes // 4
     rows = -(-(num_words // 128 + 2) // 8) * 8
     # Extra accumulators (independent RMW dependency chains) trade VMEM
-    # for merge-loop throughput; spend a ~16 MB accumulator budget.
-    n_chains = min(16, max(1, (16 * (1 << 20)) // capacity_bytes))
+    # for merge-loop latency (measured ~70 ms/batch of serial RMW latency
+    # at one chain, amortized to a few ms at 16-32); spend a ~32 MB
+    # accumulator budget against the 100 MB compiler VMEM ceiling.
+    n_chains = min(32, max(1, (32 * (1 << 20)) // capacity_bytes))
 
     padded_e = -(-num_entries // TILE) * TILE
     if padded_e != num_entries:
@@ -405,7 +407,7 @@ def encode_entropy_fused(
             pltpu.VMEM((max(n_chains - 1, 1) * rows, 128), jnp.uint32),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024,
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(
