@@ -234,3 +234,32 @@ def test_fused_entropy_kernel_respects_init_dc(rng):
     )
     assert int(b1) == int(b2)
     assert np.array_equal(np.asarray(p1), np.asarray(p2))
+
+
+def test_fused_kernel_under_vmap(rng):
+    """Batching the fused kernel with vmap must equal per-image encodes
+    (guards the grid-axis/program_id assumptions the kernel relies on)."""
+    import jax
+    import jax.numpy as jnp
+
+    from jpeg_encoder_tpu.config import EncoderConfig
+
+    geom = EncoderConfig(subsampling_ratio=(4, 4, 4)).geometry(16, 16)
+    batch_y = rng.integers(-60, 60, (2, geom.num_luma_blocks, 64)).astype(np.int16)
+    batch_cb = rng.integers(-60, 60, (2, geom.num_chroma_blocks, 64)).astype(np.int16)
+    batch_cr = rng.integers(-60, 60, (2, geom.num_chroma_blocks, 64)).astype(np.int16)
+    cap = 1 << 12
+
+    def one(a, b, c):
+        return entropy.encode_scan(a, b, c, geom, cap, packer="fused_interpret")
+
+    pv, bv = jax.vmap(one)(
+        jnp.asarray(batch_y), jnp.asarray(batch_cb), jnp.asarray(batch_cr)
+    )
+    for i in range(2):
+        p1, b1 = one(
+            jnp.asarray(batch_y[i]), jnp.asarray(batch_cb[i]),
+            jnp.asarray(batch_cr[i]),
+        )
+        assert int(bv[i]) == int(b1)
+        assert np.array_equal(np.asarray(pv[i]), np.asarray(p1))
