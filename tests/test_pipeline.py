@@ -186,3 +186,17 @@ def test_default_packer_selection(monkeypatch):
     )
     monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
     assert pipeline.default_packer(1 << 20) == "xla"
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_fuzzed_geometries_match_oracle(seed):
+    """Random odd geometries across ratios, full-file byte identity."""
+    rng = np.random.default_rng(seed)
+    width = int(rng.integers(1, 70))
+    height = int(rng.integers(1, 70))
+    ratio = [(4, 4, 4), (4, 2, 2), (4, 2, 0)][seed % 3]
+    rgb = rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+    config = EncoderConfig(subsampling_ratio=ratio)
+    device = pipeline.encode_array(rgb, config)
+    golden = oracle.encode_oracle(rgb, config)
+    assert device.file_bytes == jfif.assemble(golden.geom, golden.entropy_bytes)
