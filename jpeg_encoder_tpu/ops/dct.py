@@ -72,7 +72,9 @@ def _trunc_div_int(values: jnp.ndarray, divisor: jnp.ndarray) -> jnp.ndarray:
     return jnp.sign(values) * (jnp.abs(values) // divisor)
 
 
-def real_dct_quant(blocks_u8: jnp.ndarray, quant: np.ndarray) -> jnp.ndarray:
+def real_dct_quant(
+    blocks_u8: jnp.ndarray, quant: np.ndarray, zigzag_out: bool = False
+) -> jnp.ndarray:
     """(N, 64) uint8 blocks -> (N, 64) int16 quantized coefficients.
 
     Level shift, 64x64 Kronecker-basis matmul (f32, HIGHEST precision so the
@@ -80,17 +82,24 @@ def real_dct_quant(blocks_u8: jnp.ndarray, quant: np.ndarray) -> jnp.ndarray:
     truncate toward zero.
     """
     shifted = level_shift(blocks_u8).astype(jnp.float32)
-    k = jnp.asarray(dct_kron_matrix())
+    k = dct_kron_matrix()
+    q = quant.reshape(64).astype(np.float32)
+    if zigzag_out:
+        from jpeg_encoder_tpu import tables
+
+        k = k[:, tables.ZIGZAG_ORDER]
+        q = q[tables.ZIGZAG_ORDER]
     coeffs = jnp.dot(
-        shifted, k,
+        shifted, jnp.asarray(k),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
-    q = jnp.asarray(quant.reshape(64).astype(np.float32))
-    return jnp.trunc(coeffs / q).astype(jnp.int16)
+    return jnp.trunc(coeffs / jnp.asarray(q)).astype(jnp.int16)
 
 
-def real_dct_quant_ordered(blocks_u8: jnp.ndarray, quant: np.ndarray) -> jnp.ndarray:
+def real_dct_quant_ordered(
+    blocks_u8: jnp.ndarray, quant: np.ndarray, zigzag_out: bool = False
+) -> jnp.ndarray:
     """Reference-parity RealDCT (the default path).
 
     64 f32 accumulation steps in (x, y) scan order with per-term association
@@ -108,6 +117,13 @@ def real_dct_quant_ordered(blocks_u8: jnp.ndarray, quant: np.ndarray) -> jnp.nda
     basis = dct_basis_f32()
     u_of = np.arange(64) // 8
     v_of = np.arange(64) % 8
+    if zigzag_out:
+        # Output lanes are independent, so permuting the per-lane constants
+        # reorders the outputs with identical arithmetic (bit-exact).
+        from jpeg_encoder_tpu import tables
+
+        u_of = u_of[tables.ZIGZAG_ORDER]
+        v_of = v_of[tables.ZIGZAG_ORDER]
     x_of = np.arange(64) // 8
     y_of = np.arange(64) % 8
     a_steps = jnp.asarray(basis[u_of[None, :], x_of[:, None]])  # (step, uv)
@@ -121,9 +137,12 @@ def real_dct_quant_ordered(blocks_u8: jnp.ndarray, quant: np.ndarray) -> jnp.nda
     inv_sqrt2 = _F32(1.0) / _F32(np.sqrt(2.0))
     alpha = np.where(np.arange(8) == 0, inv_sqrt2, _F32(1.0)).astype(_F32)
     scale = ((_F32(0.25) * alpha[u_of]) * alpha[v_of]).astype(_F32)
-    coeffs = (jnp.asarray(scale)[None, :] * acc) / jnp.asarray(
-        quant.reshape(64).astype(np.float32)
-    )
+    q = quant.reshape(64).astype(np.float32)
+    if zigzag_out:
+        from jpeg_encoder_tpu import tables
+
+        q = q[tables.ZIGZAG_ORDER]
+    coeffs = (jnp.asarray(scale)[None, :] * acc) / jnp.asarray(q)
     return jnp.trunc(coeffs).astype(jnp.int16)
 
 
@@ -184,9 +203,18 @@ def dct_quantize(
     quant: np.ndarray,
     algorithm: DctAlgorithm,
     fast_dct: bool = False,
+    zigzag_out: bool = False,
 ) -> jnp.ndarray:
+    """zigzag_out folds the zigzag permutation into the transform's
+    per-lane constants (RealDCT) or applies it to the result (binDCT),
+    sparing the scan encoder its lane gather."""
     if algorithm == DctAlgorithm.REAL_DCT:
         if fast_dct:
-            return real_dct_quant(blocks_u8, quant)
-        return real_dct_quant_ordered(blocks_u8, quant)
-    return bin_dct_quant(blocks_u8, quant)
+            return real_dct_quant(blocks_u8, quant, zigzag_out)
+        return real_dct_quant_ordered(blocks_u8, quant, zigzag_out)
+    out = bin_dct_quant(blocks_u8, quant)
+    if zigzag_out:
+        from jpeg_encoder_tpu import tables
+
+        out = out[:, tables.ZIGZAG_ORDER]
+    return out

@@ -94,13 +94,15 @@ def encode_core(
     fast_dct: bool = False,
     use_pallas: bool = False,
     validate: bool = False,
+    with_coeffs: bool = True,
 ) -> dict[str, jnp.ndarray]:
     """(H, W, 3) uint8 -> packed entropy payload + quantized coefficients.
 
     Pure, jittable, and vmap/shard_map-compatible for fixed static args.
-    With use_pallas the DCT stage runs through the fused Pallas kernels,
-    which emit zigzag-ordered coefficients directly; the returned coefficient
-    arrays are un-permuted back to natural order either way.
+    The DCT emits zigzag-ordered coefficients (the permutation is folded
+    into its constants) feeding the scan encoder gather-free; coefficient
+    outputs are un-permuted to natural order, and with_coeffs=False drops
+    them so callers that only want the bitstream skip that work.
     """
     y, cb, cr = color.rgb_to_ycbcr(rgb)
     y = sample.pad_plane(y, geom)
@@ -123,33 +125,37 @@ def encode_core(
             y_z, cb_z, cr_z, geom, capacity_bytes, coeffs_zigzagged=True,
             packer=packer,
         )
-        inv_zz = jnp.asarray(np.argsort(tables.ZIGZAG_ORDER))
-        y_q = y_z[:, inv_zz].astype(jnp.int16)
-        cb_q = cb_z[:, inv_zz].astype(jnp.int16)
-        cr_q = cr_z[:, inv_zz].astype(jnp.int16)
     else:
-        y_q = dct.dct_quantize(
-            sample.blockify(y), tables.Y_QUANT_TABLE, algorithm, fast_dct
+        # zigzag_out folds the scan permutation into the DCT constants, so
+        # the scan encoder skips its lane gather; returned coefficients are
+        # un-permuted below either way.
+        y_z = dct.dct_quantize(
+            sample.blockify(y), tables.Y_QUANT_TABLE, algorithm, fast_dct,
+            zigzag_out=True,
         )
-        cb_q = dct.dct_quantize(
-            sample.blockify(cb), tables.C_QUANT_TABLE, algorithm, fast_dct
+        cb_z = dct.dct_quantize(
+            sample.blockify(cb), tables.C_QUANT_TABLE, algorithm, fast_dct,
+            zigzag_out=True,
         )
-        cr_q = dct.dct_quantize(
-            sample.blockify(cr), tables.C_QUANT_TABLE, algorithm, fast_dct
+        cr_z = dct.dct_quantize(
+            sample.blockify(cr), tables.C_QUANT_TABLE, algorithm, fast_dct,
+            zigzag_out=True,
         )
         payload, total_bits = entropy.encode_scan(
-            y_q, cb_q, cr_q, geom, capacity_bytes, packer=packer
+            y_z, cb_z, cr_z, geom, capacity_bytes, coeffs_zigzagged=True,
+            packer=packer,
         )
-    result = {
-        "payload": payload,
-        "total_bits": total_bits,
-        "y_coeffs": y_q,
-        "cb_coeffs": cb_q,
-        "cr_coeffs": cr_q,
-    }
+    result = {"payload": payload, "total_bits": total_bits}
+    if with_coeffs:
+        inv_zz = jnp.asarray(np.argsort(tables.ZIGZAG_ORDER))
+        result["y_coeffs"] = y_z[:, inv_zz].astype(jnp.int16)
+        result["cb_coeffs"] = cb_z[:, inv_zz].astype(jnp.int16)
+        result["cr_coeffs"] = cr_z[:, inv_zz].astype(jnp.int16)
     if validate:
+        # Ranges are permutation-invariant: DC stays at column 0 and the
+        # AC value set is unchanged by the zigzag ordering.
         result["max_dc_diff"], result["max_ac"] = entropy.coefficient_ranges(
-            y_q, cb_q, cr_q, geom
+            y_z, cb_z, cr_z, geom
         )
     return result
 
@@ -162,13 +168,14 @@ def compiled_encoder(
     fast_dct: bool = False,
     use_pallas: bool = False,
     validate: bool = False,
+    with_coeffs: bool = False,
 ):
     """Jitted encode_core for one static configuration (cached)."""
 
     def fn(rgb: jnp.ndarray) -> dict[str, jnp.ndarray]:
         return encode_core(
             rgb, geom, algorithm, capacity_bytes, fast_dct, use_pallas,
-            validate,
+            validate, with_coeffs,
         )
 
     return jax.jit(fn)
@@ -206,7 +213,7 @@ def encode_array(
     while True:
         out = compiled_encoder(
             geom, config.dct_algorithm, capacity, config.fast_dct,
-            config.use_pallas, config.validate,
+            config.use_pallas, config.validate, return_coeffs,
         )(device_rgb)
         if config.validate:
             validate_scan_ranges(
