@@ -236,16 +236,38 @@ def _entropy_kernel(
     )
     word_idx = local_off >> 5
 
-    # One comparison per slot: the spill (lo) lands one word after the
-    # main (hi) contribution, so collect spills against the same mask and
-    # shift the whole spill accumulator by one lane at the end.
-    col = _lane_iota((t, ENTRY_WORDS), 1)
-    acc = jnp.zeros((t, ENTRY_WORDS), jnp.uint32)
-    acc_lo = jnp.zeros((t, ENTRY_WORDS), jnp.uint32)
+    # Word index is a unit-step staircase over slots (slot lengths < 32),
+    # so each output word's contributions form one contiguous slot segment.
+    # Segmented OR-scans collapse each segment to its last slot; a counting
+    # loop (one compare+add per slot — cheaper than the old compare+2
+    # masked-ORs) finds that last slot per word; one per-sublane gather
+    # (take_along_axis) pulls the word values out. Spills (lo) group by the
+    # same segments and land one word later (lane shift of the gather).
+    def seg_or(vals):
+        s_acc = vals
+        k = 1
+        while k < 128:
+            wk = _shift_lanes(word_idx, k, -1)
+            s_acc = jnp.where(
+                word_idx == wk, s_acc | _shift_lanes(s_acc, k, 0), s_acc
+            )
+            k *= 2
+        return s_acc
+
+    s_hi = seg_or(hi)
+    s_lo = seg_or(lo)
+    colw = _lane_iota((t, ENTRY_WORDS), 1)
+    cnt = jnp.zeros((t, ENTRY_WORDS), jnp.int32)
     for s in range(65):
-        m = col == word_idx[:, s : s + 1]
-        acc = acc | jnp.where(m, hi[:, s : s + 1], 0)
-        acc_lo = acc_lo | jnp.where(m, lo[:, s : s + 1], 0)
+        cnt = cnt + (word_idx[:, s : s + 1] <= colw)
+    w_last = word_idx[:, 64:65]
+    idx = jnp.clip(cnt - 1, 0, 127)
+    idx128 = jnp.pad(idx, ((0, 0), (0, 128 - ENTRY_WORDS)))
+    g_hi = jnp.take_along_axis(s_hi, idx128, axis=1)[:, :ENTRY_WORDS]
+    g_lo = jnp.take_along_axis(s_lo, idx128, axis=1)[:, :ENTRY_WORDS]
+    live = colw <= w_last
+    acc = jnp.where(live, g_hi, 0)
+    acc_lo = jnp.where(live, g_lo, 0)
     ebuf[:] = acc | _shift_lanes(acc_lo, 1, jnp.uint32(0))
 
     # ---- tile-local exclusive offsets + global carry ----
