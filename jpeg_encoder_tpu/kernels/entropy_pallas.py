@@ -238,11 +238,13 @@ def _entropy_kernel(
 
     # Word index is a unit-step staircase over slots (slot lengths < 32),
     # so each output word's contributions form one contiguous slot segment.
-    # Segmented OR-scans collapse each segment to its last slot; a counting
-    # loop (one compare+add per slot — cheaper than the old compare+2
-    # masked-ORs) finds that last slot per word; one per-sublane gather
-    # (take_along_axis) pulls the word values out. Spills (lo) group by the
-    # same segments and land one word later (lane shift of the gather).
+    # A segmented OR-scan collapses each segment to its last slot; a 7-step
+    # per-lane binary search over the (sorted) word_idx row finds that last
+    # slot for each output word; one per-sublane gather (take_along_axis ->
+    # tpu.dynamic_gather) pulls the word values out. Spills (lo) need no
+    # scan at all: only a segment's LAST slot can cross its word boundary,
+    # so the same gather indices read them, landing one word later (lane
+    # shift at the end).
     def seg_or(vals):
         s_acc = vals
         k = 1
@@ -255,16 +257,20 @@ def _entropy_kernel(
         return s_acc
 
     s_hi = seg_or(hi)
-    s_lo = seg_or(lo)
     colw = _lane_iota((t, ENTRY_WORDS), 1)
-    cnt = jnp.zeros((t, ENTRY_WORDS), jnp.int32)
-    for s in range(65):
-        cnt = cnt + (word_idx[:, s : s + 1] <= colw)
+    # Binary search: idx[w] = max{s <= 64 : word_idx[s] <= w} (word_idx[0]
+    # is 0, so s = 0 is always a valid lower bound). Lanes past the last
+    # slot read as +inf so candidates stay inside the real 65 slots.
+    wi = jnp.where(_lane_iota((t, 128), 1) > 64, 0x7FFF, word_idx)
+    colw128 = jnp.pad(colw, ((0, 0), (0, 128 - ENTRY_WORDS)))
+    idx128 = jnp.zeros((t, 128), jnp.int32)
+    for step in (64, 32, 16, 8, 4, 2, 1):
+        cand = idx128 + step
+        v = jnp.take_along_axis(wi, cand, axis=1)
+        idx128 = jnp.where(v <= colw128, cand, idx128)
     w_last = word_idx[:, 64:65]
-    idx = jnp.clip(cnt - 1, 0, 127)
-    idx128 = jnp.pad(idx, ((0, 0), (0, 128 - ENTRY_WORDS)))
     g_hi = jnp.take_along_axis(s_hi, idx128, axis=1)[:, :ENTRY_WORDS]
-    g_lo = jnp.take_along_axis(s_lo, idx128, axis=1)[:, :ENTRY_WORDS]
+    g_lo = jnp.take_along_axis(lo, idx128, axis=1)[:, :ENTRY_WORDS]
     live = colw <= w_last
     acc = jnp.where(live, g_hi, 0)
     acc_lo = jnp.where(live, g_lo, 0)
