@@ -143,7 +143,7 @@ def _bit_length_f32(av):
 def _entropy_kernel(
     z_ref, dcdiff_ref, lut_ref,
     out_ref, bits_ref,
-    ebuf, offs, carry, acc2,
+    c0s, c1s, rloc, carry, acc2,
     *, tile, num_entries, blocks_per_mcu, hv, num_words, lut_scalars,
     n_chains,
 ):
@@ -274,7 +274,7 @@ def _entropy_kernel(
     live = colw <= w_last
     acc = jnp.where(live, g_hi, 0)
     acc_lo = jnp.where(live, g_lo, 0)
-    ebuf[:] = acc | _shift_lanes(acc_lo, 1, jnp.uint32(0))
+    ew = acc | _shift_lanes(acc_lo, 1, jnp.uint32(0))   # (T, ENTRY_WORDS)
 
     # ---- tile-local exclusive offsets + global carry ----
     eb_sub = entry_bits  # (T, 1): cumsum along sublanes via transpose trick
@@ -286,74 +286,61 @@ def _entropy_kernel(
     bits_ref[0, 0] = carry[0]
     # Clamp windows into bounds (overflow is detected via total_bits).
     max_off = (num_words - ENTRY_WORDS - 1) * 32
-    offs[:] = jnp.minimum(offs_val, max_off).astype(jnp.int32)
+    offw = jnp.minimum(offs_val, max_off)
+
+    # ---- wide contribution prep ----
+    # Align every entry's buffer to the absolute word grid (shift right by
+    # offs&31 bits — per-sublane shift amounts broadcast over lanes), then
+    # rotate each row to its lane position ((offs>>5) mod 128) with a
+    # per-sublane lane gather (a per-row dynamic roll, which pltpu.roll
+    # cannot do), and split into the two 128-word output rows the entry
+    # covers. Everything the old code computed per entry inside the
+    # assembly loop happens here as a handful of (T, 128) vector ops.
+    sbit = (offw & 31).astype(jnp.uint32)
+    ew64 = jnp.pad(ew, ((0, 0), (0, 64 - ENTRY_WORDS)))
+    spill = jnp.where(sbit == 0, jnp.uint32(0), ew64 << (32 - sbit))
+    sh = (ew64 >> sbit) | _shift_lanes(spill, 1, jnp.uint32(0))
+    sh128 = jnp.pad(sh, ((0, 0), (0, 64)))
+    q = offw >> 5
+    lpos = q & 127
+    lane = _lane_iota((t, 128), 1)
+    gidx = (lane - lpos) & 127
+    rolled = jnp.take_along_axis(sh128, gidx, axis=1)
+    c0s[:] = jnp.where(lane >= lpos, rolled, 0)
+    c1s[:] = jnp.where(lane < lpos, rolled, 0)
+    rloc[:] = q >> 7
 
     # ---- sequential assembly into the resident output ----
-    # The loop is latency-bound: each RMW depends on the previous one
-    # through the output buffer. Two mitigations (measured on chip):
-    # entries merge in PAIRS first (registers, vector ops — a pair spans
-    # <= 56 + 54 + 2 = 112 words, still one 128-lane row), and pairs
-    # round-robin across up to four INDEPENDENT accumulators (out_ref and
-    # row-bands of acc2), giving the scheduler that many interleavable RMW
-    # dependency chains. Every bit of the stream is written by exactly one
-    # entry, so OR-ing the buffers at the end reproduces the single-stream
-    # result exactly.
-    lane128 = _lane_iota((1, 128), 1)
-
-    def load128(i):
-        row = ebuf[i, :].reshape(1, ENTRY_WORDS)
-        return jnp.pad(row, ((0, 0), (0, 128 - ENTRY_WORDS)))
-
-    def shift_bits(v, nbits):
-        """Shift a (1, 128) word vector right by nbits (< 4096) bits."""
-        w = nbits >> 5
-        s = (nbits & 31).astype(jnp.uint32)
-        spill = jnp.where(s == 0, jnp.uint32(0), v << (32 - s))
-        c = (v >> s) | pltpu.roll(spill, 1, 1)
-        return jnp.where(lane128 >= w, pltpu.roll(c, w, 1), 0)
-
-    def pair_contrib(i):
-        """(row, (2, 128) contribution) for the pair (2i, 2i+1)."""
-        a_off = offs[2 * i, 0]
-        b_off = offs[2 * i + 1, 0]
-        pair = load128(2 * i) | shift_bits(load128(2 * i + 1), b_off - a_off)
-        q = a_off >> 5
-        s = (a_off & 31).astype(jnp.uint32)
-        r = q >> 7
-        l = q & 127
-        spill = jnp.where(s == 0, jnp.uint32(0), pair << (32 - s))
-        c = (pair >> s) | pltpu.roll(spill, 1, 1)
-        rolled = pltpu.roll(c, l, 1)
-        contrib = jnp.concatenate(
-            [jnp.where(lane128 >= l, rolled, 0),
-             jnp.where(lane128 < l, rolled, 0)],
-            axis=0,
-        )
-        return r, contrib
-
+    # Only the read-modify-OR into the (dynamically addressed) output rows
+    # is sequential now, and those RMWs round-robin across up to n_chains
+    # INDEPENDENT accumulators (out_ref and row-bands of acc2) so the
+    # scheduler can interleave their dependency chains. Every bit of the
+    # stream is written by exactly one entry, so OR-ing the accumulators at
+    # the end reproduces the single-stream result exactly.
     nrows = out_ref.shape[0]
 
-    def rmw(target, band, r, c):
-        cur = target[pl.ds(band * nrows + r, 2), :]
-        target[pl.ds(band * nrows + r, 2), :] = cur | c
+    def rmw(target, band, e):
+        r = band * nrows + rloc[e, 0]
+        contrib = jnp.concatenate(
+            [c0s[pl.ds(e, 1), :], c1s[pl.ds(e, 1), :]], axis=0
+        )
+        cur = target[pl.ds(r, 2), :]
+        target[pl.ds(r, 2), :] = cur | contrib
 
     if n_chains == 1:
         def body(i, _):
-            r0, c0 = pair_contrib(i)
-            rmw(out_ref, 0, r0, c0)
+            rmw(out_ref, 0, i)
             return 0
 
-        jax.lax.fori_loop(0, t // 2, body, 0, unroll=False)
+        jax.lax.fori_loop(0, t, body, 0, unroll=False)
     else:
         def body(i, _):
-            r0, c0 = pair_contrib(n_chains * i)
-            rmw(out_ref, 0, r0, c0)
+            rmw(out_ref, 0, n_chains * i)
             for k in range(1, n_chains):
-                rk, ck = pair_contrib(n_chains * i + k)
-                rmw(acc2, k - 1, rk, ck)
+                rmw(acc2, k - 1, n_chains * i + k)
             return 0
 
-        jax.lax.fori_loop(0, t // (2 * n_chains), body, 0, unroll=False)
+        jax.lax.fori_loop(0, t // n_chains, body, 0, unroll=False)
 
         @pl.when(pid == pl.num_programs(0) - 1)
         def _():
@@ -429,7 +416,8 @@ def encode_entropy_fused(
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((TILE, ENTRY_WORDS), jnp.uint32),
+            pltpu.VMEM((TILE, 128), jnp.uint32),
+            pltpu.VMEM((TILE, 128), jnp.uint32),
             pltpu.VMEM((TILE, 1), jnp.int32),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.VMEM((max(n_chains - 1, 1) * rows, 128), jnp.uint32),
