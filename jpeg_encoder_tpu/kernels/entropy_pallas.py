@@ -2,23 +2,41 @@
 
 Replaces the XLA symbolization + two-level packing chain (ops/entropy.py)
 for the TPU hot path. Everything after the DCT happens inside one kernel,
-tile by tile, with no HBM intermediates:
+tile by tile, with no HBM intermediates.
 
-1. run-length symbolization of zigzag coefficients — cummax/cumsum over the
-   64-lane axis done as log-step shift networks (pltpu.roll + masks), bit
+Layout: TWO scan entries per 128-lane row (entry A in lanes 0..63, B in
+64..127 — the (E, 64) coefficient array reshapes to (E/2, 128) for free in
+HBM). Every lane network (cummax, cumsum, segmented OR, binary search)
+runs half-aware (shifts masked at the lane-64 boundary), so the whole
+kernel does the same work in half the vector registers that a one-entry-
+per-row layout needs.
+
+1. run-length symbolization of zigzag coefficients — cummax/cumsum over
+   each 64-lane half as log-step shift networks (pltpu.roll + masks), bit
    lengths via the f32 exponent trick (|coeff| < 2^24 so the conversion is
-   exact; no clz needed);
+   exact; no clz needed). The EOB is slot 63: zigzag position 63 either
+   emits its nonzero coefficient (then the block has no EOB) or, when
+   zero, the EOB code — the same 64 slots cover both (entropy_coding.rs:
+   105-124 emission order is preserved exactly).
 2. Huffman (code, length) lookup via the TPU's per-sublane lane gather
-   (jnp.take_along_axis lowers to tpu.dynamic_gather): the packed
-   (len<<20|code) tables live in vregs as (1, 128) rows and each 256-entry
-   AC table costs two gathers + a select (symbol high bit picks the half);
-   luma/chroma resolve with one more select;
-3. per-entry slot packing — exclusive cumsum over the 65 slot lanes, then
-   the masked-OR sweep into (TILE, ENTRY_WORDS) buffers, all in VMEM;
-4. sequential assembly into a VMEM-resident output (same scheme as
-   kernels/pack_pallas.py: bit shift, dynamic lane roll, sublane-dynamic
-   two-row RMW), with the running global bit offset carried across grid
-   steps in SMEM scratch.
+   (jnp.take_along_axis lowers to tpu.dynamic_gather). DC lookups ride
+   the SAME gathers: DC category bl is stuffed into the AC tables at the
+   unused symbols (bl+1)<<4 (r=1..12, s=0 — baseline JPEG defines no AC
+   codes there), so one pair of gathers serves every slot. Luma/chroma
+   resolve by selecting the table ROW before the gather (entries A and B
+   can differ per lane).
+3. per-entry slot packing — exclusive cumsum over the 64 slot lanes; the
+   word index of each slot is a unit-step staircase, so a segmented OR
+   collapses each output word's slot segment to its last slot, and a
+   6-step per-lane binary search + one gather reads the words out
+   (spills need no scan: only a segment's last slot can cross its word).
+4. assembly into a VMEM-resident output: per-sublane shifts align both
+   entries to the absolute word grid, per-sublane lane gathers rotate
+   them to their lane positions, and the two entries' contributions merge
+   into the <= 3 consecutive 128-word output rows a pair can span. Only
+   the three-row read-modify-OR per pair is sequential, round-robined
+   over independent accumulators; the running global bit offset is
+   carried across grid steps in SMEM scratch.
 
 Scan-order marshalling (reshape/transpose), zigzag, and DC differences stay
 in XLA (pure layout work), in ops/entropy.encode_scan's `fused` packer path.
@@ -40,8 +58,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from jpeg_encoder_tpu import tables
 
-TILE = 512          # entries per grid step
-ENTRY_WORDS = 56    # worst-case words per entry (65 slots * 27 bits)
+TILE = 512          # entries per grid step (TILE // 2 kernel rows)
+ENTRY_WORDS = 56    # worst-case words per entry (65 emissions * 27 bits)
+# The VMEM-resident output block plus the chain accumulators are the only
+# capacity-proportional allocations; the budget keeps them under the
+# compiler VMEM ceiling set below.
 MAX_VMEM_CAPACITY = 16 * 1024 * 1024
 
 
@@ -57,80 +78,38 @@ def _packed(table_id: int, sym: int, kind: str) -> int:
 def _lut_rows() -> np.ndarray:
     """(8, 128) i32: packed (len<<20|code) tables laid out as vreg rows.
 
-    Rows 0/1: luma AC symbols 0..127 / 128..255; rows 2/3: chroma AC;
-    row 4: luma DC categories 0..11 (zero-padded); row 5: chroma DC.
-    Symbols stay < 256 because inputs are int16 (bit length <= 15).
+    Rows 0/1: luma AC symbols 0..127 / 128..255; rows 2/3: chroma AC.
+    DC categories bl = 0..11 are stuffed into the unused AC symbols
+    (bl+1)<<4 (zero-run r=1..12 with size s=0: baseline JPEG defines no
+    AC codes there), so the DC lookup shares the AC gathers.
     """
     rows = np.zeros((8, 128), np.int32)
     for sym in range(256):
         rows[sym >> 7, sym & 127] = _packed(0, sym, "ac")
         rows[2 + (sym >> 7), sym & 127] = _packed(1, sym, "ac")
     for bl in range(12):
-        rows[4, bl] = _packed(0, bl, "dc")
-        rows[5, bl] = _packed(1, bl, "dc")
+        sym = (bl + 1) << 4
+        assert tables.AC_LEN_LUT[0][sym] == 0 and tables.AC_LEN_LUT[1][sym] == 0
+        rows[sym >> 7, sym & 127] = _packed(0, bl, "dc")
+        rows[2 + (sym >> 7), sym & 127] = _packed(1, bl, "dc")
     return rows
-
-
-def _gather_row(lut_ref, row, idx128):
-    """Per-lane lookup of idx128 (T, 128) in lut row `row` (128 entries)."""
-    t = idx128.shape[0]
-    tbl = jnp.broadcast_to(lut_ref[row : row + 1, :], (t, 128))
-    return jnp.take_along_axis(tbl, idx128, axis=1)
-
-
-def _gather_lut(sym, is_luma, lut_ref, dc: bool):
-    """(T, W) symbols -> packed (len<<20|code), luma/chroma per entry."""
-    t, w = sym.shape
-    idx = sym & 127
-    if w < 128:
-        idx = jnp.pad(idx, ((0, 0), (0, 128 - w)))
-    else:
-        assert w == 128
-    if dc:
-        y = _gather_row(lut_ref, 4, idx)[:, :w]
-        c = _gather_row(lut_ref, 5, idx)[:, :w]
-    else:
-        hi_half = sym >= 128
-        y = jnp.where(
-            hi_half,
-            _gather_row(lut_ref, 1, idx)[:, :w],
-            _gather_row(lut_ref, 0, idx)[:, :w],
-        )
-        c = jnp.where(
-            hi_half,
-            _gather_row(lut_ref, 3, idx)[:, :w],
-            _gather_row(lut_ref, 2, idx)[:, :w],
-        )
-    return jnp.where(is_luma, y, c)
 
 
 def _lane_iota(shape, dim):
     return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
 
 
+def _shift_half(x, k, fill):
+    """Shift values toward higher lanes by k WITHIN each 64-lane half:
+    out[:, j] = x[:, j-k] when (j & 63) >= k, else `fill`."""
+    rolled = pltpu.roll(x, k, 1)
+    return jnp.where((_lane_iota(x.shape, 1) & 63) >= k, rolled, fill)
+
+
 def _shift_lanes(x, k, fill):
-    """Shift values toward higher lane indices by k (axis 1), filling with
-    `fill` — i.e. out[:, j] = x[:, j-k] for j >= k."""
+    """Full-width lane shift: out[:, j] = x[:, j-k] for j >= k."""
     rolled = pltpu.roll(x, k, 1)
     return jnp.where(_lane_iota(x.shape, 1) >= k, rolled, fill)
-
-
-def _cummax_lanes(x, width):
-    """Inclusive cummax along axis 1 (values >= 0), log-step network."""
-    k = 1
-    while k < width:
-        x = jnp.maximum(x, _shift_lanes(x, k, 0))
-        k *= 2
-    return x
-
-
-def _cumsum_lanes(x, width):
-    """Inclusive cumsum along axis 1, log-step network."""
-    k = 1
-    while k < width:
-        x = x + _shift_lanes(x, k, 0)
-        k *= 2
-    return x
 
 
 def _bit_length_f32(av):
@@ -143,7 +122,7 @@ def _bit_length_f32(av):
 def _entropy_kernel(
     z_ref, dcdiff_ref, lut_ref,
     out_ref, bits_ref,
-    c0s, c1s, rloc, carry, acc2,
+    c0s, c1s, c2s, rloc, carry, acc2,
     *, tile, num_entries, blocks_per_mcu, hv, num_words, lut_scalars,
     n_chains,
 ):
@@ -156,71 +135,118 @@ def _entropy_kernel(
             acc2[:] = jnp.zeros_like(acc2)
         carry[0] = 0
 
-    t = tile
-    z = z_ref[:].astype(jnp.int32)   # (T, 64) zigzag order; i16 in HBM
-    entry_idx = pid * t + _lane_iota((t, 1), 0)
+    t2 = tile // 2
+    z = z_ref[:].astype(jnp.int32)       # (T2, 128): entries A | B
+    lane = _lane_iota((t2, 128), 1)
+    half = lane >= 64                    # False: entry A, True: entry B
+    lane64 = lane & 63                   # zigzag position within the entry
+    row2 = _lane_iota((t2, 1), 0)
+    entry_idx = pid * tile + 2 * row2 + half.astype(jnp.int32)
     valid = entry_idx < num_entries
-    is_luma = (entry_idx % blocks_per_mcu) < hv        # (T, 1) bool
-    lane64 = _lane_iota((t, 64), 1)
+    is_luma = (entry_idx % blocks_per_mcu) < hv      # (T2, 128) bool
 
-    # ---- DC slot ----
-    diff = dcdiff_ref[:]             # (T, 1)
-    dc_bl = _bit_length_f32(jnp.abs(diff))
-    dc_ampl = jnp.where(diff < 0, diff + (1 << dc_bl) - 1, diff) & (
-        (1 << dc_bl) - 1
-    )
-    dc_cl = _gather_lut(dc_bl, is_luma, lut_ref, dc=True)  # (T, 1)
-    dc_bits = ((dc_cl & 0xFFFFF) << dc_bl) | dc_ampl
-    dc_len = (dc_cl >> 20) + dc_bl
-
-    # ---- AC lanes ----
+    # ---- run-length state per half ----
     nz_marker = jnp.where((z != 0) & (lane64 > 0), lane64, 0)
-    cm = _cummax_lanes(nz_marker, 64)
-    run_base = _shift_lanes(cm, 1, 0)
-    last_nz = jnp.max(nz_marker, axis=1, keepdims=True)
+    cm = nz_marker
+    k = 1
+    while k < 64:
+        cm = jnp.maximum(cm, _shift_half(cm, k, 0))
+        k *= 2
+    run_base = _shift_half(cm, 1, 0)     # previous nonzero position
+    last_idx = jnp.where(half, 127, 63)
+    last_nz = jnp.take_along_axis(cm, last_idx, axis=1)
 
     is_nonzero = (z != 0) & (lane64 > 0)
     run_dist = lane64 - run_base
     zeros_before = run_dist - 1
 
+    # ---- symbols: AC, DC (lane 0), EOB (lane 63, zero coefficient) ----
     ac_bl = _bit_length_f32(jnp.abs(z))
     ac_sym = ((zeros_before & 15) << 4) | ac_bl
     ac_ampl = jnp.where(z < 0, z + (1 << ac_bl) - 1, z) & ((1 << ac_bl) - 1)
-    nz_cl = _gather_lut(ac_sym, is_luma, lut_ref, dc=False)  # (T, 64)
-    nz_len = (nz_cl >> 20) + ac_bl
-    nz_bits = ((nz_cl & 0xFFFFF) << ac_bl) | ac_ampl
+
+    d2 = dcdiff_ref[:]                   # (T2, 2)
+    diff = jnp.where(half, d2[:, 1:2], d2[:, 0:1])
+    dc_bl = _bit_length_f32(jnp.abs(diff))
+    dc_ampl = jnp.where(diff < 0, diff + (1 << dc_bl) - 1, diff) & (
+        (1 << dc_bl) - 1
+    )
+    is_dc = lane64 == 0
+    sym = jnp.where(is_dc, (dc_bl + 1) << 4, ac_sym)
+
+    # ---- Huffman gathers for every slot ----
+    def bc(row):
+        return jnp.broadcast_to(lut_ref[row : row + 1, :], (t2, 128))
+
+    idx = sym & 127
+    hi_sym = sym >= 128
+    if blocks_per_mcu % 2 == 0 and hv % 2 == 0:
+        # Entry pairs never mix luma and chroma (pairs cannot straddle an
+        # MCU when blocks_per_mcu is even, and an even h*v pairs luma
+        # blocks with luma blocks), so is_luma is constant per kernel row
+        # and the table ROW can be selected before the gather: two gathers
+        # serve all slots. NOTE the select must NOT happen after indexing
+        # per lane — a gathered lane's luma-ness is the looking-up lane's,
+        # not the table lane's — which is why the mixed-pair path below
+        # gathers all four rows first.
+        row_lo = jnp.where(is_luma, bc(0), bc(2))
+        row_hi = jnp.where(is_luma, bc(1), bc(3))
+        g_lo_tbl = jnp.take_along_axis(row_lo, idx, axis=1)
+        g_hi_tbl = jnp.take_along_axis(row_hi, idx, axis=1)
+        cl = jnp.where(hi_sym, g_hi_tbl, g_lo_tbl)   # (len<<20 | code)
+    else:
+        y_cl = jnp.where(
+            hi_sym,
+            jnp.take_along_axis(bc(1), idx, axis=1),
+            jnp.take_along_axis(bc(0), idx, axis=1),
+        )
+        c_cl = jnp.where(
+            hi_sym,
+            jnp.take_along_axis(bc(3), idx, axis=1),
+            jnp.take_along_axis(bc(2), idx, axis=1),
+        )
+        cl = jnp.where(is_luma, y_cl, c_cl)
+
+    ampl = jnp.where(is_dc, dc_ampl, ac_ampl)
+    bl = jnp.where(is_dc, dc_bl, ac_bl)
+    coded_bits = ((cl & 0xFFFFF) << bl) | ampl
+    coded_len = (cl >> 20) + bl
 
     zrl_y, zrl_c, eob_y, eob_c = lut_scalars
-    is_zero_lane = (z == 0) & (lane64 > 0)
-    zrl_here = is_zero_lane & (lane64 <= last_nz) & (run_dist % 16 == 0)
+    zrl_here = (
+        (z == 0) & (lane64 > 0) & (lane64 <= last_nz) & (run_dist % 16 == 0)
+    )
     zrl_cl = jnp.where(is_luma, zrl_y, zrl_c)
-    ac_bits = jnp.where(
-        is_nonzero, nz_bits, jnp.where(zrl_here, zrl_cl & 0xFFFFF, 0)
-    )
-    ac_len = jnp.where(
-        is_nonzero, nz_len, jnp.where(zrl_here, zrl_cl >> 20, 0)
-    )
-
+    eob_here = (lane64 == 63) & (z == 0)
     eob_cl = jnp.where(is_luma, eob_y, eob_c)
-    eob_needed = z[:, 63:64] == 0
-    eob_bits = jnp.where(eob_needed, eob_cl & 0xFFFFF, 0)
-    eob_len = jnp.where(eob_needed, eob_cl >> 20, 0)
 
-    # ---- slots (T, 65), padded to (T, 128) for the lane networks ----
-    slot_bits = jnp.concatenate(
-        [dc_bits, ac_bits[:, 1:], eob_bits], axis=1
+    emit = is_dc | is_nonzero
+    slot_bits = jnp.where(
+        emit,
+        coded_bits,
+        jnp.where(
+            zrl_here, zrl_cl & 0xFFFFF, jnp.where(eob_here, eob_cl & 0xFFFFF, 0)
+        ),
     ).astype(jnp.uint32)
-    slot_lens = jnp.concatenate([dc_len, ac_len[:, 1:], eob_len], axis=1)
+    slot_lens = jnp.where(
+        emit,
+        coded_len,
+        jnp.where(zrl_here, zrl_cl >> 20, jnp.where(eob_here, eob_cl >> 20, 0)),
+    )
     slot_lens = jnp.where(valid, slot_lens, 0)  # padding entries emit nothing
-    pad = 128 - 65
-    slot_bits = jnp.pad(slot_bits, ((0, 0), (0, pad)))
-    slot_lens = jnp.pad(slot_lens, ((0, 0), (0, pad)))
 
-    incl = _cumsum_lanes(slot_lens, 128)
-    local_off = incl - slot_lens                       # exclusive
-    entry_bits = incl[:, 64:65]                        # (T, 1)
+    # ---- per-entry exclusive bit offsets ----
+    incl = slot_lens
+    k = 1
+    while k < 64:
+        incl = incl + _shift_half(incl, k, 0)
+        k *= 2
+    local_off = incl - slot_lens
+    g_bits = jnp.take_along_axis(incl, last_idx, axis=1)
+    bits_a = g_bits[:, :1]
+    bits_b = g_bits[:, 64:65]
 
-    # ---- per-entry buffers: masked-OR sweep over the 65 slots ----
+    # ---- slot codes -> per-entry word buffers (A: lanes 0..56, B: 64..120)
     start = local_off & 31
     end = start + slot_lens
     shift_hi = jnp.clip(32 - end, 0, 31).astype(jnp.uint32)
@@ -234,105 +260,109 @@ def _entropy_kernel(
         slot_bits << jnp.clip(64 - end, 0, 31).astype(jnp.uint32),
         jnp.uint32(0),
     )
-    word_idx = local_off >> 5
+    word_idx = local_off >> 5            # unit-step staircase per half
 
-    # Word index is a unit-step staircase over slots (slot lengths < 32),
-    # so each output word's contributions form one contiguous slot segment.
-    # A segmented OR-scan collapses each segment to its last slot; a 7-step
-    # per-lane binary search over the (sorted) word_idx row finds that last
-    # slot for each output word; one per-sublane gather (take_along_axis ->
-    # tpu.dynamic_gather) pulls the word values out. Spills (lo) need no
-    # scan at all: only a segment's LAST slot can cross its word boundary,
-    # so the same gather indices read them, landing one word later (lane
-    # shift at the end).
-    def seg_or(vals):
-        s_acc = vals
-        k = 1
-        while k < 128:
-            wk = _shift_lanes(word_idx, k, -1)
-            s_acc = jnp.where(
-                word_idx == wk, s_acc | _shift_lanes(s_acc, k, 0), s_acc
-            )
-            k *= 2
-        return s_acc
-
-    s_hi = seg_or(hi)
-    colw = _lane_iota((t, ENTRY_WORDS), 1)
-    # Binary search: idx[w] = max{s <= 64 : word_idx[s] <= w} (word_idx[0]
-    # is 0, so s = 0 is always a valid lower bound). Lanes past the last
-    # slot read as +inf so candidates stay inside the real 65 slots.
-    wi = jnp.where(_lane_iota((t, 128), 1) > 64, 0x7FFF, word_idx)
-    colw128 = jnp.pad(colw, ((0, 0), (0, 128 - ENTRY_WORDS)))
-    idx128 = jnp.zeros((t, 128), jnp.int32)
-    for step in (64, 32, 16, 8, 4, 2, 1):
-        cand = idx128 + step
-        v = jnp.take_along_axis(wi, cand, axis=1)
-        idx128 = jnp.where(v <= colw128, cand, idx128)
-    w_last = word_idx[:, 64:65]
-    g_hi = jnp.take_along_axis(s_hi, idx128, axis=1)[:, :ENTRY_WORDS]
-    g_lo = jnp.take_along_axis(lo, idx128, axis=1)[:, :ENTRY_WORDS]
+    # Segmented OR collapses each word's slot segment onto its last slot.
+    s_hi = hi
+    k = 1
+    while k < 64:
+        wk = _shift_half(word_idx, k, -1)
+        s_hi = jnp.where(word_idx == wk, s_hi | _shift_half(s_hi, k, 0), s_hi)
+        k *= 2
+    # Binary search: sidx[w] = max{s <= 63 : word_idx[s] <= w} per half
+    # (word_idx[0] = 0, so s = 0 is always a valid lower bound).
+    colw = lane64
+    half_base = jnp.where(half, 64, 0)
+    sidx = jnp.zeros((t2, 128), jnp.int32)
+    for step in (32, 16, 8, 4, 2, 1):
+        cand = sidx + step
+        v = jnp.take_along_axis(word_idx, half_base + cand, axis=1)
+        sidx = jnp.where(v <= colw, cand, sidx)
+    w_last = jnp.take_along_axis(word_idx, last_idx, axis=1)
+    g_hi = jnp.take_along_axis(s_hi, half_base + sidx, axis=1)
+    g_lo = jnp.take_along_axis(lo, half_base + sidx, axis=1)
     live = colw <= w_last
     acc = jnp.where(live, g_hi, 0)
     acc_lo = jnp.where(live, g_lo, 0)
-    ew = acc | _shift_lanes(acc_lo, 1, jnp.uint32(0))   # (T, ENTRY_WORDS)
+    ew = acc | _shift_half(acc_lo, 1, jnp.uint32(0))   # (T2, 128) A|B words
 
     # ---- tile-local exclusive offsets + global carry ----
-    eb_sub = entry_bits  # (T, 1): cumsum along sublanes via transpose trick
-    incl_e = _cumsum_lanes(eb_sub.reshape(1, t), t).reshape(t, 1)
-    excl_e = incl_e - eb_sub
+    pair_bits = bits_a + bits_b          # (T2, 1)
+    incl_p = pair_bits.reshape(1, t2)
+    k = 1
+    while k < t2:
+        incl_p = incl_p + _shift_lanes(incl_p, k, 0)
+        k *= 2
+    incl_p = incl_p.reshape(t2, 1)
     base = carry[0]
-    offs_val = base + excl_e
-    carry[0] = base + incl_e[t - 1, 0]
+    off_a = base + incl_p - pair_bits
+    off_b = off_a + bits_a
+    carry[0] = base + incl_p[t2 - 1, 0]
     bits_ref[0, 0] = carry[0]
     # Clamp windows into bounds (overflow is detected via total_bits).
-    max_off = (num_words - ENTRY_WORDS - 1) * 32
-    offw = jnp.minimum(offs_val, max_off)
+    max_off = (num_words - 2 * ENTRY_WORDS - 1) * 32
+    off_a = jnp.minimum(off_a, max_off)
+    off_b = jnp.minimum(off_b, max_off + 32 * ENTRY_WORDS)
 
     # ---- wide contribution prep ----
-    # Align every entry's buffer to the absolute word grid (shift right by
-    # offs&31 bits — per-sublane shift amounts broadcast over lanes), then
-    # rotate each row to its lane position ((offs>>5) mod 128) with a
-    # per-sublane lane gather (a per-row dynamic roll, which pltpu.roll
-    # cannot do), and split into the two 128-word output rows the entry
-    # covers. Everything the old code computed per entry inside the
-    # assembly loop happens here as a handful of (T, 128) vector ops.
-    sbit = (offw & 31).astype(jnp.uint32)
-    ew64 = jnp.pad(ew, ((0, 0), (0, 64 - ENTRY_WORDS)))
-    spill = jnp.where(sbit == 0, jnp.uint32(0), ew64 << (32 - sbit))
-    sh = (ew64 >> sbit) | _shift_lanes(spill, 1, jnp.uint32(0))
-    sh128 = jnp.pad(sh, ((0, 0), (0, 64)))
-    q = offw >> 5
-    lpos = q & 127
-    lane = _lane_iota((t, 128), 1)
-    gidx = (lane - lpos) & 127
-    rolled = jnp.take_along_axis(sh128, gidx, axis=1)
-    c0s[:] = jnp.where(lane >= lpos, rolled, 0)
-    c1s[:] = jnp.where(lane < lpos, rolled, 0)
-    rloc[:] = q >> 7
+    # Align both entries to the absolute word grid (per-sublane shifts),
+    # rotate each to its output lane position with a per-sublane lane
+    # gather (a per-row dynamic roll), and accumulate the pair's bits into
+    # the <= 3 consecutive 128-word output rows it can span.
+    sbit = jnp.where(
+        half, off_b & 31, off_a & 31
+    ).astype(jnp.uint32)
+    spill = jnp.where(sbit == 0, jnp.uint32(0), ew << (32 - sbit))
+    sh = (ew >> sbit) | _shift_half(spill, 1, jnp.uint32(0))
+    q_a = off_a >> 5
+    q_b = off_b >> 5
+    r_a = q_a >> 7                       # (T2, 1) first output row of pair
+    l_a = q_a & 127
+    l_b = q_b & 127
+    w_rel_a = (lane - l_a) & 127
+    w_rel_b = (lane - l_b) & 127
+    rot_a = jnp.take_along_axis(sh, w_rel_a, axis=1)
+    rot_a = jnp.where(w_rel_a <= 56, rot_a, 0)
+    rot_b = jnp.take_along_axis(sh, 64 + (w_rel_b & 63), axis=1)
+    rot_b = jnp.where(w_rel_b <= 56, rot_b, 0)
+    delta = (q_b >> 7) - r_a             # (T2, 1) in {0, 1}
+    b_hi = lane >= l_b
+    c0 = jnp.where(lane >= l_a, rot_a, 0) | jnp.where(
+        (delta == 0) & b_hi, rot_b, 0
+    )
+    c1 = jnp.where(lane < l_a, rot_a, 0) | jnp.where(
+        (delta == 0) != b_hi, rot_b, 0
+    )
+    c2 = jnp.where((delta == 1) & ~b_hi, rot_b, 0)
+    c0s[:] = c0
+    c1s[:] = c1
+    c2s[:] = c2
+    rloc[:] = r_a
 
     # ---- sequential assembly into the resident output ----
     # Only the read-modify-OR into the (dynamically addressed) output rows
-    # is sequential now, and those RMWs round-robin across up to n_chains
-    # INDEPENDENT accumulators (out_ref and row-bands of acc2) so the
-    # scheduler can interleave their dependency chains. Every bit of the
-    # stream is written by exactly one entry, so OR-ing the accumulators at
-    # the end reproduces the single-stream result exactly.
+    # is sequential, round-robined across up to n_chains INDEPENDENT
+    # accumulators (out_ref and row-bands of acc2) so the scheduler can
+    # interleave their dependency chains. Every bit of the stream is
+    # written by exactly one entry, so OR-ing the accumulators at the end
+    # reproduces the single sequential stream exactly.
     nrows = out_ref.shape[0]
 
-    def rmw(target, band, e):
-        r = band * nrows + rloc[e, 0]
+    def rmw(target, band, p):
+        r = band * nrows + rloc[p, 0]
         contrib = jnp.concatenate(
-            [c0s[pl.ds(e, 1), :], c1s[pl.ds(e, 1), :]], axis=0
+            [c0s[pl.ds(p, 1), :], c1s[pl.ds(p, 1), :], c2s[pl.ds(p, 1), :]],
+            axis=0,
         )
-        cur = target[pl.ds(r, 2), :]
-        target[pl.ds(r, 2), :] = cur | contrib
+        cur = target[pl.ds(r, 3), :]
+        target[pl.ds(r, 3), :] = cur | contrib
 
     if n_chains == 1:
         def body(i, _):
             rmw(out_ref, 0, i)
             return 0
 
-        jax.lax.fori_loop(0, t, body, 0, unroll=False)
+        jax.lax.fori_loop(0, t2, body, 0, unroll=False)
     else:
         def body(i, _):
             rmw(out_ref, 0, n_chains * i)
@@ -340,7 +370,7 @@ def _entropy_kernel(
                 rmw(acc2, k - 1, n_chains * i + k)
             return 0
 
-        jax.lax.fori_loop(0, t // n_chains, body, 0, unroll=False)
+        jax.lax.fori_loop(0, t2 // n_chains, body, 0, unroll=False)
 
         @pl.when(pid == pl.num_programs(0) - 1)
         def _():
@@ -366,7 +396,7 @@ def _lut_scalars():
 
 
 def encode_entropy_fused(
-    z: jnp.ndarray,        # (E, 64) i32 zigzag coeffs in scan-entry order
+    z: jnp.ndarray,        # (E, 64) zigzag coeffs in scan-entry order
     dc_diff: jnp.ndarray,  # (E,) i32 DC differences in scan-entry order
     geom,
     capacity_bytes: int,
@@ -376,11 +406,10 @@ def encode_entropy_fused(
     assert capacity_bytes % 4 == 0
     num_entries = z.shape[0]
     num_words = capacity_bytes // 4
-    rows = -(-(num_words // 128 + 2) // 8) * 8
+    rows = -(-(num_words // 128 + 3) // 8) * 8
     # Extra accumulators (independent RMW dependency chains) trade VMEM
-    # for merge-loop latency (measured ~70 ms/batch of serial RMW latency
-    # at one chain, amortized to a few ms at 16-32); spend a ~32 MB
-    # accumulator budget against the 100 MB compiler VMEM ceiling.
+    # for merge-loop latency; spend a ~32 MB accumulator budget against
+    # the compiler VMEM ceiling set below.
     n_chains = min(32, max(1, (32 * (1 << 20)) // capacity_bytes))
 
     padded_e = -(-num_entries // TILE) * TILE
@@ -388,6 +417,10 @@ def encode_entropy_fused(
         pad = padded_e - num_entries
         z = jnp.concatenate([z, jnp.zeros((pad, 64), z.dtype)])
         dc_diff = jnp.concatenate([dc_diff, jnp.zeros((pad,), dc_diff.dtype)])
+    # Two entries per kernel row: row-major (E, 64) and (E/2, 128) are the
+    # same HBM bytes, so this reshape is free.
+    z2 = z.reshape(padded_e // 2, 128)
+    d2 = dc_diff.astype(jnp.int32).reshape(padded_e // 2, 2)
 
     kernel = functools.partial(
         _entropy_kernel,
@@ -399,12 +432,13 @@ def encode_entropy_fused(
         lut_scalars=_lut_scalars(),
         n_chains=n_chains,
     )
+    t2 = TILE // 2
     out, bits = pl.pallas_call(
         kernel,
         grid=(padded_e // TILE,),
         in_specs=[
-            pl.BlockSpec((TILE, 64), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((t2, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((t2, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -416,9 +450,10 @@ def encode_entropy_fused(
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((TILE, 128), jnp.uint32),
-            pltpu.VMEM((TILE, 128), jnp.uint32),
-            pltpu.VMEM((TILE, 1), jnp.int32),
+            pltpu.VMEM((t2, 128), jnp.uint32),
+            pltpu.VMEM((t2, 128), jnp.uint32),
+            pltpu.VMEM((t2, 128), jnp.uint32),
+            pltpu.VMEM((t2, 1), jnp.int32),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.VMEM((max(n_chains - 1, 1) * rows, 128), jnp.uint32),
         ],
@@ -426,9 +461,5 @@ def encode_entropy_fused(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(
-        z,
-        dc_diff.astype(jnp.int32).reshape(-1, 1),
-        jnp.asarray(_lut_rows()),
-    )
+    )(z2, d2, jnp.asarray(_lut_rows()))
     return out.reshape(-1)[:num_words], bits[0, 0]
