@@ -58,7 +58,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from jpeg_encoder_tpu import tables
 
-TILE = 512          # entries per grid step (TILE // 2 kernel rows)
+TILE = 1024       # entries per grid step (TILE // 2 kernel rows)
 ENTRY_WORDS = 56    # worst-case words per entry (65 emissions * 27 bits)
 # The VMEM-resident output block plus the chain accumulators are the only
 # capacity-proportional allocations; the budget keeps them under the
