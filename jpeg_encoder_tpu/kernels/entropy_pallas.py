@@ -26,15 +26,20 @@ per-row layout needs.
    resolve by selecting the table ROW before the gather (entries A and B
    can differ per lane).
 3. per-entry slot packing — exclusive cumsum over the 64 slot lanes; the
-   word index of each slot is a unit-step staircase, so a segmented OR
-   collapses each output word's slot segment to its last slot, and a
-   6-step per-lane binary search + one gather reads the words out
-   (spills need no scan: only a segment's last slot can cross its word).
+   word index of each slot is a unit-step staircase, so each output
+   word's contributions form one contiguous slot segment whose bit
+   ranges are DISJOINT — its OR is a SUM, i.e. a difference of prefix
+   sums. Spills ride the same prefix sum shifted one slot forward (a
+   segment's spill starts at bit 0 of the next word, exactly where that
+   word's first slot leaves off); a 6-step per-lane binary search + one
+   gather reads the word values out.
 4. assembly into a VMEM-resident output: per-sublane shifts align both
    entries to the absolute word grid, per-sublane lane gathers rotate
-   them to their lane positions, and the two entries' contributions merge
-   into the <= 3 consecutive 128-word output rows a pair can span. Only
-   the three-row read-modify-OR per pair is sequential, round-robined
+   them to their lane positions, and the pair's contributions merge into
+   the two 128-word output rows a pair can span (<= 113 words from any
+   start lane never reaches word 256). A sublane roll then merges row
+   pairs — quads of entries, <= 3 output rows — so the sequential loop
+   does one three-row read-modify-OR per FOUR entries, round-robined
    over independent accumulators; the running global bit offset is
    carried across grid steps in SMEM scratch.
 
@@ -262,12 +267,19 @@ def _entropy_kernel(
     )
     word_idx = local_off >> 5            # unit-step staircase per half
 
-    # Segmented OR collapses each word's slot segment onto its last slot.
-    s_hi = hi
+    # Within one output word, slot contributions occupy DISJOINT bit
+    # ranges, so the word's value (an OR over its slot segment) equals the
+    # segment SUM — and a segment sum is a difference of prefix sums. The
+    # spill of a segment's last slot starts at bit 0 of the NEXT word,
+    # exactly where that word's first slot leaves off, so shifting spills
+    # one slot forward folds them into the same prefix sum (u32 wraparound
+    # keeps the differences exact). Only the final slot's spill escapes
+    # (no slot follows to carry it); it is patched in at word w_last + 1.
+    contrib = hi + _shift_half(lo, 1, jnp.uint32(0))
+    cs = contrib
     k = 1
     while k < 64:
-        wk = _shift_half(word_idx, k, -1)
-        s_hi = jnp.where(word_idx == wk, s_hi | _shift_half(s_hi, k, 0), s_hi)
+        cs = cs + _shift_half(cs, k, jnp.uint32(0))
         k *= 2
     # Binary search: sidx[w] = max{s <= 63 : word_idx[s] <= w} per half
     # (word_idx[0] = 0, so s = 0 is always a valid lower bound).
@@ -279,12 +291,11 @@ def _entropy_kernel(
         v = jnp.take_along_axis(word_idx, half_base + cand, axis=1)
         sidx = jnp.where(v <= colw, cand, sidx)
     w_last = jnp.take_along_axis(word_idx, last_idx, axis=1)
-    g_hi = jnp.take_along_axis(s_hi, half_base + sidx, axis=1)
-    g_lo = jnp.take_along_axis(lo, half_base + sidx, axis=1)
+    g_cs = jnp.take_along_axis(cs, half_base + sidx, axis=1)
     live = colw <= w_last
-    acc = jnp.where(live, g_hi, 0)
-    acc_lo = jnp.where(live, g_lo, 0)
-    ew = acc | _shift_half(acc_lo, 1, jnp.uint32(0))   # (T2, 128) A|B words
+    acc = jnp.where(live, g_cs - _shift_half(g_cs, 1, jnp.uint32(0)), 0)
+    lo_last = jnp.take_along_axis(lo, last_idx, axis=1)
+    ew = acc | jnp.where(colw == w_last + 1, lo_last, 0)  # (T2, 128) A|B
 
     # ---- tile-local exclusive offsets + global carry ----
     pair_bits = bits_a + bits_b          # (T2, 1)
@@ -327,16 +338,27 @@ def _entropy_kernel(
     rot_b = jnp.where(w_rel_b <= 56, rot_b, 0)
     delta = (q_b >> 7) - r_a             # (T2, 1) in {0, 1}
     b_hi = lane >= l_b
+    # A pair occupies <= 113 consecutive words, so from any start lane
+    # <= 127 it ends before word 256: TWO rows, never three. (delta == 1
+    # implies l_b = l_a + dq - 128 <= 55, and l_b + 57 < 128 — entry B
+    # cannot wrap again.)
     c0 = jnp.where(lane >= l_a, rot_a, 0) | jnp.where(
         (delta == 0) & b_hi, rot_b, 0
     )
     c1 = jnp.where(lane < l_a, rot_a, 0) | jnp.where(
         (delta == 0) != b_hi, rot_b, 0
     )
-    c2 = jnp.where((delta == 1) & ~b_hi, rot_b, 0)
-    c0s[:] = c0
-    c1s[:] = c1
-    c2s[:] = c2
+    # Quad merge: row pair (2j, 2j+1) — four consecutive entries — spans
+    # <= 226 words = at most THREE output rows, so a sublane roll brings
+    # row 2j+1's contributions up to row 2j (d = its row offset, 0 or 1)
+    # and the assembly loop runs over even rows only: half the RMWs.
+    r_next = pltpu.roll(r_a, t2 - 1, 0)
+    d = r_next - r_a                     # valid at even rows
+    c0n = pltpu.roll(c0, t2 - 1, 0)
+    c1n = pltpu.roll(c1, t2 - 1, 0)
+    c0s[:] = c0 | jnp.where(d == 0, c0n, 0)
+    c1s[:] = c1 | jnp.where(d == 0, c1n, jnp.where(d == 1, c0n, 0))
+    c2s[:] = jnp.where(d == 1, c1n, 0)
     rloc[:] = r_a
 
     # ---- sequential assembly into the resident output ----
@@ -359,18 +381,18 @@ def _entropy_kernel(
 
     if n_chains == 1:
         def body(i, _):
-            rmw(out_ref, 0, i)
+            rmw(out_ref, 0, 2 * i)
             return 0
 
-        jax.lax.fori_loop(0, t2, body, 0, unroll=False)
+        jax.lax.fori_loop(0, t2 // 2, body, 0, unroll=False)
     else:
         def body(i, _):
-            rmw(out_ref, 0, n_chains * i)
+            rmw(out_ref, 0, 2 * n_chains * i)
             for k in range(1, n_chains):
-                rmw(acc2, k - 1, n_chains * i + k)
+                rmw(acc2, k - 1, 2 * (n_chains * i + k))
             return 0
 
-        jax.lax.fori_loop(0, t2 // n_chains, body, 0, unroll=False)
+        jax.lax.fori_loop(0, t2 // (2 * n_chains), body, 0, unroll=False)
 
         @pl.when(pid == pl.num_programs(0) - 1)
         def _():
@@ -409,8 +431,11 @@ def encode_entropy_fused(
     rows = -(-(num_words // 128 + 3) // 8) * 8
     # Extra accumulators (independent RMW dependency chains) trade VMEM
     # for merge-loop latency; spend a ~32 MB accumulator budget against
-    # the compiler VMEM ceiling set below.
+    # the compiler VMEM ceiling set below. Must be a power of two so the
+    # round-robin covers every row (a non-divisor would drop tail rows).
     n_chains = min(32, max(1, (32 * (1 << 20)) // capacity_bytes))
+    n_chains = 1 << (n_chains.bit_length() - 1)
+    assert (TILE // 4) % n_chains == 0
 
     padded_e = -(-num_entries // TILE) * TILE
     if padded_e != num_entries:

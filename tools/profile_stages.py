@@ -32,7 +32,7 @@ noise = jax.random.uniform(jax.random.key(100), (BATCH, H, W, 3)) * 0.1
 images = ((img * 0.9 + noise) * 255).astype(jnp.uint8)
 
 
-def timeit(name, fn, *args, iters=12):
+def timeit(name, fn, *args, iters=60):
     out = fn(*args)
     _ = np.asarray(jax.tree.leaves(out)[-1]).ravel()[0]
     t0 = time.perf_counter()
