@@ -66,7 +66,8 @@ def main() -> None:
     def encode_batch(images):
         def one(rgb):
             out = pipeline.encode_core(
-                rgb, geom, DctAlgorithm.REAL_DCT, capacity, fast_dct=False
+                rgb, geom, DctAlgorithm.REAL_DCT, capacity, fast_dct=False,
+                with_coeffs=False,
             )
             return out["payload"], out["total_bits"]
         return jax.vmap(one)(images)

@@ -420,10 +420,12 @@ def _pack_level1(
 
 
 def _words_to_bytes(words: jnp.ndarray) -> jnp.ndarray:
-    """Big-endian byte serialization: MSB-first bitstream order."""
-    shifts = jnp.array([24, 16, 8, 0], dtype=jnp.uint32)
-    byte_matrix = (words[:, None] >> shifts[None, :]) & jnp.uint32(0xFF)
-    return byte_matrix.reshape(-1).astype(jnp.uint8)
+    """Big-endian byte serialization: MSB-first bitstream order.
+
+    bitcast yields each u32's bytes little-endian; reversing the byte axis
+    gives the MSB-first order without the (n, 4) int32 shift/mask temp.
+    """
+    return jax.lax.bitcast_convert_type(words, jnp.uint8)[:, ::-1].reshape(-1)
 
 
 def pack_entries_pallas(

@@ -54,16 +54,9 @@ def front_planes(rgb):
 
 def front_dct(rgb):
     y, cb, cr = front_planes(rgb)
-    y_z = dct.dct_quantize(
-        sample.blockify(y), tables.Y_QUANT_TABLE, DctAlgorithm.REAL_DCT,
-        False, zigzag_out=True)
-    cb_z = dct.dct_quantize(
-        sample.blockify(cb), tables.C_QUANT_TABLE, DctAlgorithm.REAL_DCT,
-        False, zigzag_out=True)
-    cr_z = dct.dct_quantize(
-        sample.blockify(cr), tables.C_QUANT_TABLE, DctAlgorithm.REAL_DCT,
-        False, zigzag_out=True)
-    return y_z, cb_z, cr_z
+    return dct.dct_quantize_planes(
+        sample.blockify(y), sample.blockify(cb), sample.blockify(cr),
+        DctAlgorithm.REAL_DCT, False, zigzag_out=True)
 
 
 def marshal(y_z, cb_z, cr_z):
