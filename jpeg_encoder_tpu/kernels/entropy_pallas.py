@@ -66,9 +66,11 @@ from jpeg_encoder_tpu import tables
 TILE = 1024       # entries per grid step (TILE // 2 kernel rows)
 ENTRY_WORDS = 56    # worst-case words per entry (65 emissions * 27 bits)
 # The VMEM-resident output block plus the chain accumulators are the only
-# capacity-proportional allocations; the budget keeps them under the
-# compiler VMEM ceiling set below.
-MAX_VMEM_CAPACITY = 16 * 1024 * 1024
+# capacity-proportional allocations. n_chains scales inversely with the
+# buffer (a ~32 MB accumulator budget), so output block + accumulators
+# stay under the 100 MB compiler VMEM ceiling up to 64 MB buffers —
+# worst-case 4K retry capacities (~44 MB) keep the fused path.
+MAX_VMEM_CAPACITY = 64 * 1024 * 1024
 
 
 def _packed(table_id: int, sym: int, kind: str) -> int:
@@ -433,7 +435,7 @@ def encode_entropy_fused(
     # for merge-loop latency; spend a ~32 MB accumulator budget against
     # the compiler VMEM ceiling set below. Must be a power of two so the
     # round-robin covers every row (a non-divisor would drop tail rows).
-    n_chains = min(32, max(1, (32 * (1 << 20)) // capacity_bytes))
+    n_chains = min(8, max(1, (32 * (1 << 20)) // capacity_bytes))
     n_chains = 1 << (n_chains.bit_length() - 1)
     assert (TILE // 4) % n_chains == 0
 
