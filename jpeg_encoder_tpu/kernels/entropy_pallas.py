@@ -23,8 +23,9 @@ per-row layout needs.
    the SAME gathers: DC category bl is stuffed into the AC tables at the
    unused symbols (bl+1)<<4 (r=1..12, s=0 — baseline JPEG defines no AC
    codes there), so one pair of gathers serves every slot. Luma/chroma
-   resolve by selecting the table ROW before the gather (entries A and B
-   can differ per lane).
+   resolve by selecting the table ROW before the gather — sound ONLY
+   when every pair is luma/chroma-homogeneous (4:2:0/4:2:2); mixed-pair
+   ratios (4:4:4) gather all four rows and select after.
 3. per-entry slot packing — exclusive cumsum over the 64 slot lanes; the
    word index of each slot is a unit-step staircase, so each output
    word's contributions form one contiguous slot segment whose bit
@@ -64,7 +65,7 @@ from jax.experimental.pallas import tpu as pltpu
 from jpeg_encoder_tpu import tables
 
 TILE = 1024       # entries per grid step (TILE // 2 kernel rows)
-ENTRY_WORDS = 56    # worst-case words per entry (65 emissions * 27 bits)
+ENTRY_WORDS = 56    # worst-case words per entry (64 slots * 27 bits, +spill)
 # The VMEM-resident output block plus the chain accumulators are the only
 # capacity-proportional allocations. n_chains scales inversely with the
 # buffer (a ~32 MB accumulator budget), so output block + accumulators
@@ -482,7 +483,12 @@ def encode_entropy_fused(
             pltpu.VMEM((t2, 128), jnp.uint32),
             pltpu.VMEM((t2, 1), jnp.int32),
             pltpu.SMEM((1,), jnp.int32),
-            pltpu.VMEM((max(n_chains - 1, 1) * rows, 128), jnp.uint32),
+            # One accumulator band per extra chain; a minimal dummy when
+            # n_chains == 1 (the single-chain path never touches acc2 —
+            # a full-sized dummy would double VMEM demand and push >49 MB
+            # retry capacities past the compiler ceiling).
+            pltpu.VMEM(((n_chains - 1) * rows if n_chains > 1 else 8, 128),
+                       jnp.uint32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,

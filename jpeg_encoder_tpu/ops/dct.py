@@ -72,6 +72,16 @@ def _trunc_div_int(values: jnp.ndarray, divisor: jnp.ndarray) -> jnp.ndarray:
     return jnp.sign(values) * (jnp.abs(values) // divisor)
 
 
+def _default_q_rows(quant: np.ndarray, zigzag_out: bool) -> jnp.ndarray:
+    """(1, 64) f32 quant row, zigzag-permuted when the outputs are."""
+    q = quant.reshape(64).astype(np.float32)
+    if zigzag_out:
+        from jpeg_encoder_tpu import tables
+
+        q = q[tables.ZIGZAG_ORDER]
+    return jnp.asarray(q)[None, :]
+
+
 def real_dct_quant(
     blocks_u8: jnp.ndarray, quant: np.ndarray, zigzag_out: bool = False,
     q_rows: jnp.ndarray | None = None,
@@ -89,12 +99,7 @@ def real_dct_quant(
 
         k = k[:, tables.ZIGZAG_ORDER]
     if q_rows is None:
-        q = quant.reshape(64).astype(np.float32)
-        if zigzag_out:
-            from jpeg_encoder_tpu import tables
-
-            q = q[tables.ZIGZAG_ORDER]
-        q_rows = jnp.asarray(q)[None, :]
+        q_rows = _default_q_rows(quant, zigzag_out)
     coeffs = jnp.dot(
         shifted, jnp.asarray(k),
         preferred_element_type=jnp.float32,
@@ -187,12 +192,7 @@ def real_dct_quant_ordered(
     alpha = np.where(np.arange(8) == 0, inv_sqrt2, _F32(1.0)).astype(_F32)
     scale = ((_F32(0.25) * alpha[u_of]) * alpha[v_of]).astype(_F32)
     if q_rows is None:
-        q = quant.reshape(64).astype(np.float32)
-        if zigzag_out:
-            from jpeg_encoder_tpu import tables
-
-            q = q[tables.ZIGZAG_ORDER]
-        q_rows = jnp.asarray(q)[None, :]
+        q_rows = _default_q_rows(quant, zigzag_out)
     coeffs = (jnp.asarray(scale)[None, :] * acc) / q_rows
     return jnp.trunc(coeffs).astype(jnp.int16)
 

@@ -102,12 +102,9 @@ def timeit(name, fn, iters=60):
     return out
 
 
-import tools  # noqa: F401  (placeholder)
 o1 = timeit("front + 3 DCT calls", v_three)
 o2 = timeit("front + concat DCT", v_concat)
-import sys as _s
-mod = _s.modules[__name__]
-mod.BARRIER = True
+BARRIER = True
 
 
 @jax.jit
