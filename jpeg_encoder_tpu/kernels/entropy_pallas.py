@@ -426,8 +426,13 @@ def encode_entropy_fused(
     geom,
     capacity_bytes: int,
     interpret: bool = False,
+    n_chains_override: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Fused device entropy coding: returns (u32 words flat bytes, total_bits)."""
+    """Fused device entropy coding: returns (u32 words flat bytes, total_bits).
+
+    n_chains_override forces the accumulator-chain count (tests use it to
+    exercise the single-chain assembly branch at small capacities).
+    """
     assert capacity_bytes % 4 == 0
     num_entries = z.shape[0]
     num_words = capacity_bytes // 4
@@ -438,7 +443,9 @@ def encode_entropy_fused(
     # round-robin covers every row (a non-divisor would drop tail rows).
     n_chains = min(8, max(1, (32 * (1 << 20)) // capacity_bytes))
     n_chains = 1 << (n_chains.bit_length() - 1)
-    assert (TILE // 4) % n_chains == 0
+    if n_chains_override is not None:
+        n_chains = n_chains_override
+    assert n_chains == 1 or (TILE // 4) % n_chains == 0
 
     padded_e = -(-num_entries // TILE) * TILE
     if padded_e != num_entries:

@@ -263,3 +263,27 @@ def test_fused_kernel_under_vmap(rng):
         )
         assert int(bv[i]) == int(b1)
         assert np.array_equal(np.asarray(pv[i]), np.asarray(p1))
+
+
+def test_fused_kernel_single_chain_branch(rng):
+    """The n_chains == 1 assembly branch (large-capacity retries take it on
+    hardware) must be byte-identical to the multi-chain default."""
+    import jax.numpy as jnp
+
+    from jpeg_encoder_tpu.config import EncoderConfig
+    from jpeg_encoder_tpu.kernels import entropy_pallas
+    from jpeg_encoder_tpu.ops.entropy import scan_layout
+
+    geom = EncoderConfig(subsampling_ratio=(4, 2, 0)).geometry(64, 32)
+    e = geom.num_scan_entries
+    z = rng.integers(-200, 200, (e, 64)).astype(np.int16)
+    z[:, 6:] = np.where(rng.random(z[:, 6:].shape) < 0.8, 0, z[:, 6:])
+    d = rng.integers(-300, 300, (e,)).astype(np.int32)
+    cap = 1 << 14
+    w1, b1 = entropy_pallas.encode_entropy_fused(
+        jnp.asarray(z), jnp.asarray(d), geom, cap, interpret=True)
+    w2, b2 = entropy_pallas.encode_entropy_fused(
+        jnp.asarray(z), jnp.asarray(d), geom, cap, interpret=True,
+        n_chains_override=1)
+    assert int(b1) == int(b2)
+    assert np.array_equal(np.asarray(w1), np.asarray(w2))
