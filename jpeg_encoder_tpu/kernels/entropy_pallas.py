@@ -241,7 +241,13 @@ def _entropy_kernel(
         coded_len,
         jnp.where(zrl_here, zrl_cl >> 20, jnp.where(eob_here, eob_cl >> 20, 0)),
     )
-    slot_lens = jnp.where(valid, slot_lens, 0)  # padding entries emit nothing
+    # Padding entries emit nothing. Masking the BITS too is load-bearing
+    # for the prefix-sum packer: a zero-length slot with nonzero bits
+    # would otherwise leak into its word's segment sum. (Real len-0 slots
+    # always have zero bits; padding DC/EOB slots only happened to — their
+    # code values vanish under the <<31 alignment — so make it explicit.)
+    slot_bits = jnp.where(valid, slot_bits, jnp.uint32(0))
+    slot_lens = jnp.where(valid, slot_lens, 0)
 
     # ---- per-entry exclusive bit offsets ----
     incl = slot_lens
