@@ -71,6 +71,10 @@ def main() -> int:
     if "--color" in sys.argv:
         return exhaustive_color()
     rng = np.random.default_rng(123)
+    # Cycle geometries across cases: MCU-aligned, odd dims (pad + the
+    # partial-block chroma-mean quirk), the width%(8h)==1 misalignment,
+    # and a tall sliver — all on real hardware, not just the CPU suite.
+    dims = [(96, 160), (89, 157), (96, 129), (130, 17)]
     cases = []
     for ratio in [(4, 4, 4), (4, 2, 2), (4, 2, 0)]:
         for alg in [DctAlgorithm.REAL_DCT, DctAlgorithm.BIN_DCT]:
@@ -78,9 +82,9 @@ def main() -> int:
                 cases.append((ratio, alg, kind))
 
     failures = 0
-    for ratio, alg, kind in cases:
+    for i, (ratio, alg, kind) in enumerate(cases):
         cfg = EncoderConfig(subsampling_ratio=ratio, dct_algorithm=alg)
-        h, w = 96, 160
+        h, w = dims[i % len(dims)]
         rgb = content(rng, kind, h, w)
         dev = pipeline.encode_array(rgb, cfg)
         gold = oracle.encode_oracle(rgb, cfg)
