@@ -26,23 +26,25 @@ per-row layout needs.
    resolve by selecting the table ROW before the gather — sound ONLY
    when every pair is luma/chroma-homogeneous (4:2:0/4:2:2); mixed-pair
    ratios (4:4:4) gather all four rows and select after.
-3. per-entry slot packing — exclusive cumsum over the 64 slot lanes; the
-   word index of each slot is a unit-step staircase, so each output
-   word's contributions form one contiguous slot segment whose bit
-   ranges are DISJOINT — its OR is a SUM, i.e. a difference of prefix
-   sums. Spills ride the same prefix sum shifted one slot forward (a
-   segment's spill starts at bit 0 of the next word, exactly where that
-   word's first slot leaves off); a 6-step per-lane binary search + one
-   gather reads the word values out.
-4. assembly into a VMEM-resident output: per-sublane shifts align both
-   entries to the absolute word grid, per-sublane lane gathers rotate
-   them to their lane positions, and the pair's contributions merge into
-   the two 128-word output rows a pair can span (<= 113 words from any
-   start lane never reaches word 256). A sublane roll then merges row
-   pairs — quads of entries, <= 3 output rows — so the sequential loop
-   does one three-row read-modify-OR per FOUR entries, round-robined
-   over independent accumulators; the running global bit offset is
-   carried across grid steps in SMEM scratch.
+3. pair slot packing — entry B's bits follow A's contiguously in the
+   stream, so the row is ONE 128-slot sequence: a full-width exclusive
+   cumsum gives pair-relative offsets; the word index per slot is a
+   unit-step staircase, so each output word's contributions form one
+   contiguous slot segment whose bit ranges are DISJOINT — its OR is a
+   SUM, i.e. a difference of prefix sums. Spills ride the same prefix
+   sum shifted one slot forward (a segment's spill starts at bit 0 of
+   the next word, exactly where that word's first slot leaves off); a
+   7-step per-lane binary search + one gather reads the pair's <= 110
+   words out.
+4. assembly into a VMEM-resident output: a per-sublane shift aligns the
+   pair buffer to the absolute word grid, a per-sublane lane gather
+   rotates it to its lane position, and the two 128-word output rows a
+   pair can span split by lane (<= 111 aligned words from any start
+   lane never reach word 256). A sublane roll then merges row pairs —
+   quads of entries, <= 3 output rows — so the sequential loop does one
+   three-row read-modify-OR per FOUR entries, round-robined over
+   independent accumulators; the running global bit offset is carried
+   across grid steps in SMEM scratch.
 
 Scan-order marshalling (reshape/transpose), zigzag, and DC differences stay
 in XLA (pure layout work), in ops/entropy.encode_scan's `fused` packer path.
@@ -249,18 +251,20 @@ def _entropy_kernel(
     slot_bits = jnp.where(valid, slot_bits, jnp.uint32(0))
     slot_lens = jnp.where(valid, slot_lens, 0)
 
-    # ---- per-entry exclusive bit offsets ----
+    # ---- pair-local exclusive bit offsets ----
+    # Entry B's bits follow entry A's contiguously in the final stream, so
+    # the whole ROW is one 128-slot sequence: a single full-width cumsum
+    # yields pair-relative offsets, and everything downstream (staircase,
+    # binary search, rotation) runs once per PAIR instead of per entry.
     incl = slot_lens
     k = 1
-    while k < 64:
-        incl = incl + _shift_half(incl, k, 0)
+    while k < 128:
+        incl = incl + _shift_lanes(incl, k, 0)
         k *= 2
     local_off = incl - slot_lens
-    g_bits = jnp.take_along_axis(incl, last_idx, axis=1)
-    bits_a = g_bits[:, :1]
-    bits_b = g_bits[:, 64:65]
+    pair_bits = incl[:, 127:128]         # (T2, 1)
 
-    # ---- slot codes -> per-entry word buffers (A: lanes 0..56, B: 64..120)
+    # ---- slot codes -> pair word buffer (<= 110 of the 128 lanes) ----
     start = local_off & 31
     end = start + slot_lens
     shift_hi = jnp.clip(32 - end, 0, 31).astype(jnp.uint32)
@@ -274,7 +278,7 @@ def _entropy_kernel(
         slot_bits << jnp.clip(64 - end, 0, 31).astype(jnp.uint32),
         jnp.uint32(0),
     )
-    word_idx = local_off >> 5            # unit-step staircase per half
+    word_idx = local_off >> 5            # unit-step staircase over the pair
 
     # Within one output word, slot contributions occupy DISJOINT bit
     # ranges, so the word's value (an OR over its slot segment) equals the
@@ -284,30 +288,28 @@ def _entropy_kernel(
     # one slot forward folds them into the same prefix sum (u32 wraparound
     # keeps the differences exact). Only the final slot's spill escapes
     # (no slot follows to carry it); it is patched in at word w_last + 1.
-    contrib = hi + _shift_half(lo, 1, jnp.uint32(0))
+    contrib = hi + _shift_lanes(lo, 1, jnp.uint32(0))
     cs = contrib
     k = 1
-    while k < 64:
-        cs = cs + _shift_half(cs, k, jnp.uint32(0))
+    while k < 128:
+        cs = cs + _shift_lanes(cs, k, jnp.uint32(0))
         k *= 2
-    # Binary search: sidx[w] = max{s <= 63 : word_idx[s] <= w} per half
+    # Binary search: sidx[w] = max{s <= 127 : word_idx[s] <= w}
     # (word_idx[0] = 0, so s = 0 is always a valid lower bound).
-    colw = lane64
-    half_base = jnp.where(half, 64, 0)
+    colw = lane
     sidx = jnp.zeros((t2, 128), jnp.int32)
-    for step in (32, 16, 8, 4, 2, 1):
-        cand = sidx + step
-        v = jnp.take_along_axis(word_idx, half_base + cand, axis=1)
+    for step in (64, 32, 16, 8, 4, 2, 1):
+        cand = sidx + step               # <= 127 by construction
+        v = jnp.take_along_axis(word_idx, cand, axis=1)
         sidx = jnp.where(v <= colw, cand, sidx)
-    w_last = jnp.take_along_axis(word_idx, last_idx, axis=1)
-    g_cs = jnp.take_along_axis(cs, half_base + sidx, axis=1)
+    w_last = word_idx[:, 127:128]
+    g_cs = jnp.take_along_axis(cs, sidx, axis=1)
     live = colw <= w_last
-    acc = jnp.where(live, g_cs - _shift_half(g_cs, 1, jnp.uint32(0)), 0)
-    lo_last = jnp.take_along_axis(lo, last_idx, axis=1)
-    ew = acc | jnp.where(colw == w_last + 1, lo_last, 0)  # (T2, 128) A|B
+    acc = jnp.where(live, g_cs - _shift_lanes(g_cs, 1, jnp.uint32(0)), 0)
+    lo_last = lo[:, 127:128]
+    ew = acc | jnp.where(colw == w_last + 1, lo_last, 0)  # (T2, 128) pair
 
     # ---- tile-local exclusive offsets + global carry ----
-    pair_bits = bits_a + bits_b          # (T2, 1)
     incl_p = pair_bits.reshape(1, t2)
     k = 1
     while k < t2:
@@ -315,48 +317,29 @@ def _entropy_kernel(
         k *= 2
     incl_p = incl_p.reshape(t2, 1)
     base = carry[0]
-    off_a = base + incl_p - pair_bits
-    off_b = off_a + bits_a
+    off_p = base + incl_p - pair_bits
     carry[0] = base + incl_p[t2 - 1, 0]
     bits_ref[0, 0] = carry[0]
     # Clamp windows into bounds (overflow is detected via total_bits).
     max_off = (num_words - 2 * ENTRY_WORDS - 1) * 32
-    off_a = jnp.minimum(off_a, max_off)
-    off_b = jnp.minimum(off_b, max_off + 32 * ENTRY_WORDS)
+    off_p = jnp.minimum(off_p, max_off)
 
     # ---- wide contribution prep ----
-    # Align both entries to the absolute word grid (per-sublane shifts),
-    # rotate each to its output lane position with a per-sublane lane
-    # gather (a per-row dynamic roll), and accumulate the pair's bits into
-    # the <= 3 consecutive 128-word output rows it can span.
-    sbit = jnp.where(
-        half, off_b & 31, off_a & 31
-    ).astype(jnp.uint32)
+    # Align the pair buffer to the absolute word grid (per-sublane shift),
+    # rotate it to its output lane position with a per-sublane lane gather
+    # (a per-row dynamic roll), and split into the two 128-word output
+    # rows it can span: a pair occupies <= 111 aligned words, so from any
+    # start lane <= 127 it ends before word 256 — two rows, never three.
+    sbit = (off_p & 31).astype(jnp.uint32)
     spill = jnp.where(sbit == 0, jnp.uint32(0), ew << (32 - sbit))
-    sh = (ew >> sbit) | _shift_half(spill, 1, jnp.uint32(0))
-    q_a = off_a >> 5
-    q_b = off_b >> 5
+    sh = (ew >> sbit) | _shift_lanes(spill, 1, jnp.uint32(0))
+    q_a = off_p >> 5
     r_a = q_a >> 7                       # (T2, 1) first output row of pair
     l_a = q_a & 127
-    l_b = q_b & 127
-    w_rel_a = (lane - l_a) & 127
-    w_rel_b = (lane - l_b) & 127
-    rot_a = jnp.take_along_axis(sh, w_rel_a, axis=1)
-    rot_a = jnp.where(w_rel_a <= 56, rot_a, 0)
-    rot_b = jnp.take_along_axis(sh, 64 + (w_rel_b & 63), axis=1)
-    rot_b = jnp.where(w_rel_b <= 56, rot_b, 0)
-    delta = (q_b >> 7) - r_a             # (T2, 1) in {0, 1}
-    b_hi = lane >= l_b
-    # A pair occupies <= 113 consecutive words, so from any start lane
-    # <= 127 it ends before word 256: TWO rows, never three. (delta == 1
-    # implies l_b = l_a + dq - 128 <= 55, and l_b + 57 < 128 — entry B
-    # cannot wrap again.)
-    c0 = jnp.where(lane >= l_a, rot_a, 0) | jnp.where(
-        (delta == 0) & b_hi, rot_b, 0
-    )
-    c1 = jnp.where(lane < l_a, rot_a, 0) | jnp.where(
-        (delta == 0) != b_hi, rot_b, 0
-    )
+    w_rel = (lane - l_a) & 127
+    rot = jnp.take_along_axis(sh, w_rel, axis=1)
+    c0 = jnp.where(lane >= l_a, rot, 0)
+    c1 = jnp.where(lane < l_a, rot, 0)
     # Quad merge: row pair (2j, 2j+1) — four consecutive entries — spans
     # <= 226 words = at most THREE output rows, so a sublane roll brings
     # row 2j+1's contributions up to row 2j (d = its row offset, 0 or 1)
