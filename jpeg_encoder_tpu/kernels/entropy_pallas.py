@@ -6,10 +6,10 @@ tile by tile, with no HBM intermediates.
 
 Layout: TWO scan entries per 128-lane row (entry A in lanes 0..63, B in
 64..127 — the (E, 64) coefficient array reshapes to (E/2, 128) for free in
-HBM). Every lane network (cummax, cumsum, segmented OR, binary search)
-runs half-aware (shifts masked at the lane-64 boundary), so the whole
-kernel does the same work in half the vector registers that a one-entry-
-per-row layout needs.
+HBM). Symbolization runs half-aware (shifts masked at the lane-64
+boundary, run lengths are per-entry); packing treats the row as one
+contiguous 128-slot sequence. Either way every lane network does the
+same work in half the vector registers a one-entry-per-row layout needs.
 
 1. run-length symbolization of zigzag coefficients — cummax/cumsum over
    each 64-lane half as log-step shift networks (pltpu.roll + masks), bit
