@@ -434,7 +434,7 @@ def encode_entropy_fused(
     n_chains = 1 << (n_chains.bit_length() - 1)
     if n_chains_override is not None:
         n_chains = n_chains_override
-    assert n_chains == 1 or (TILE // 4) % n_chains == 0
+    assert (TILE // 4) % n_chains == 0
 
     padded_e = -(-num_entries // TILE) * TILE
     if padded_e != num_entries:

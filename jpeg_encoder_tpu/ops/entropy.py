@@ -119,6 +119,55 @@ def _seq_diff(seq: jnp.ndarray, init: jnp.ndarray) -> jnp.ndarray:
     return seq - jnp.concatenate([init.reshape(1).astype(seq.dtype), seq[:-1]])
 
 
+def marshal_scan_inputs(
+    y_coeffs: jnp.ndarray,
+    cb_coeffs: jnp.ndarray,
+    cr_coeffs: jnp.ndarray,
+    geom: FrameGeometry,
+    init_dc: jnp.ndarray | None = None,
+    coeffs_zigzagged: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Natural-order coefficient planes -> (scan-entry rows, DC diffs).
+
+    Scan-entry ordering via pure layout ops (no gathers): luma blocks
+    regroup into h x v superblocks with one reshape/transpose; MCU k's
+    entries are [superblock k row-major | cb k | cr k]
+    (entropy_coding.rs:97-124). Superblocks past the chroma-driven MCU
+    count are never emitted (quirk geometries; see _luma_scan_order).
+    Marshalling keeps the input dtype (usually int16) — the layout work
+    is HBM-bandwidth-bound, and the fused kernel casts tiles in VMEM.
+    The DC "running predictor" is a shifted subtraction per component
+    chain, seeded from init_dc (zeros, or a previous shard's final DCs).
+    """
+    h, v = geom.h_factor, geom.v_factor
+    hv = h * v
+    m = geom.num_mcus
+    bpm = geom.blocks_per_mcu
+    by, bx = geom.luma_blocks_y, geom.luma_blocks_x
+    sup = (
+        y_coeffs
+        .reshape(by // v, v, bx // h, h, 64)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(-1, hv, 64)
+    )
+    y_mcu = sup[:m]  # (m, hv, 64)
+    rows = jnp.concatenate(
+        [y_mcu, cb_coeffs[:, None, :], cr_coeffs[:, None, :]], axis=1
+    ).reshape(m * bpm, 64)
+    if not coeffs_zigzagged:
+        rows = rows[:, jnp.asarray(tables.ZIGZAG_ORDER)]
+
+    if init_dc is None:
+        init_dc = jnp.zeros((3,), jnp.int32)
+    diff_y = _seq_diff(y_mcu[:, :, 0].astype(jnp.int32).reshape(-1), init_dc[0])
+    diff_cb = _seq_diff(cb_coeffs[:, 0].astype(jnp.int32), init_dc[1])
+    diff_cr = _seq_diff(cr_coeffs[:, 0].astype(jnp.int32), init_dc[2])
+    entry_diff = jnp.concatenate(
+        [diff_y.reshape(m, hv), diff_cb[:, None], diff_cr[:, None]], axis=1
+    ).reshape(m * bpm)
+    return rows, entry_diff
+
+
 def encode_scan(
     y_coeffs: jnp.ndarray,
     cb_coeffs: jnp.ndarray,
@@ -157,41 +206,12 @@ def encode_scan(
       larger capacity (excess writes are dropped, never corrupted).
     """
     assert capacity_bytes % 4 == 0
-    h, v = geom.h_factor, geom.v_factor
-    hv = h * v
+    hv = geom.h_factor * geom.v_factor
     m = geom.num_mcus
     bpm = geom.blocks_per_mcu
-    zz = jnp.asarray(tables.ZIGZAG_ORDER)
-
-    # ---- scan-entry ordering via pure layout ops (no gathers) ----
-    # Luma blocks regroup into h x v superblocks with one reshape/transpose;
-    # MCU k's entries are [superblock k row-major | cb k | cr k]
-    # (entropy_coding.rs:97-124). Superblocks past the chroma-driven MCU
-    # count are never emitted (quirk geometries; see _luma_scan_order).
-    # Marshalling keeps the input dtype (usually int16) — the layout work
-    # is HBM-bandwidth-bound, and the fused kernel casts tiles in VMEM.
-    by, bx = geom.luma_blocks_y, geom.luma_blocks_x
-    sup = (
-        y_coeffs
-        .reshape(by // v, v, bx // h, h, 64)
-        .transpose(0, 2, 1, 3, 4)
-        .reshape(-1, hv, 64)
+    z, entry_diff = marshal_scan_inputs(
+        y_coeffs, cb_coeffs, cr_coeffs, geom, init_dc, coeffs_zigzagged
     )
-    y_mcu = sup[:m]  # (m, hv, 64)
-    rows = jnp.concatenate(
-        [y_mcu, cb_coeffs[:, None, :], cr_coeffs[:, None, :]], axis=1
-    ).reshape(m * bpm, 64)
-    z = rows if coeffs_zigzagged else rows[:, zz]
-
-    # ---- DC differences per component chain ----
-    if init_dc is None:
-        init_dc = jnp.zeros((3,), jnp.int32)
-    diff_y = _seq_diff(y_mcu[:, :, 0].astype(jnp.int32).reshape(-1), init_dc[0])
-    diff_cb = _seq_diff(cb_coeffs[:, 0].astype(jnp.int32), init_dc[1])
-    diff_cr = _seq_diff(cr_coeffs[:, 0].astype(jnp.int32), init_dc[2])
-    entry_diff = jnp.concatenate(
-        [diff_y.reshape(m, hv), diff_cb[:, None], diff_cr[:, None]], axis=1
-    ).reshape(m * bpm)
 
     if packer in ("fused", "fused_interpret"):
         # Everything below (symbolization, LUTs, packing) happens inside

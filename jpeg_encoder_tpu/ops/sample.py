@@ -63,7 +63,7 @@ def blockify(plane: jnp.ndarray) -> jnp.ndarray:
     quarter of the elements — measured ~30% faster than the u8 transpose.
     """
     hgt, wdt = plane.shape
-    if plane.dtype == jnp.uint8 and wdt % 4 == 0:
+    if plane.dtype == jnp.uint8 and wdt % 8 == 0:
         p32 = jax.lax.bitcast_convert_type(
             plane.reshape(hgt, wdt // 4, 4), jnp.int32
         )

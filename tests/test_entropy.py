@@ -272,7 +272,6 @@ def test_fused_kernel_single_chain_branch(rng):
 
     from jpeg_encoder_tpu.config import EncoderConfig
     from jpeg_encoder_tpu.kernels import entropy_pallas
-    from jpeg_encoder_tpu.ops.entropy import scan_layout
 
     geom = EncoderConfig(subsampling_ratio=(4, 2, 0)).geometry(64, 32)
     e = geom.num_scan_entries

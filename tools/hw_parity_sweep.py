@@ -74,6 +74,9 @@ def main() -> int:
     # Cycle geometries across cases: MCU-aligned, odd dims (pad + the
     # partial-block chroma-mean quirk), the width%(8h)==1 misalignment,
     # and a tall sliver — all on real hardware, not just the CPU suite.
+    # The diagonal stride (i + i//4) de-confounds geometry from content
+    # kind (the innermost loop), so every content class hits several
+    # geometries across the sweep.
     dims = [(96, 160), (89, 157), (96, 129), (130, 17)]
     cases = []
     for ratio in [(4, 4, 4), (4, 2, 2), (4, 2, 0)]:
@@ -84,7 +87,7 @@ def main() -> int:
     failures = 0
     for i, (ratio, alg, kind) in enumerate(cases):
         cfg = EncoderConfig(subsampling_ratio=ratio, dct_algorithm=alg)
-        h, w = dims[i % len(dims)]
+        h, w = dims[(i + i // len(dims)) % len(dims)]
         rgb = content(rng, kind, h, w)
         dev = pipeline.encode_array(rgb, cfg)
         gold = oracle.encode_oracle(rgb, cfg)

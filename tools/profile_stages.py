@@ -60,26 +60,10 @@ def front_dct(rgb):
 
 
 def marshal(y_z, cb_z, cr_z):
-    """The XLA layout work from entropy.encode_scan before the kernel."""
-    h, v = geom.h_factor, geom.v_factor
-    hv = h * v
-    m = geom.num_mcus
-    by, bx = geom.luma_blocks_y, geom.luma_blocks_x
-    sup = (y_z.reshape(by // v, v, bx // h, h, 64)
-           .transpose(0, 2, 1, 3, 4).reshape(-1, hv, 64))
-    y_mcu = sup[:m]
-    rows = jnp.concatenate(
-        [y_mcu, cb_z[:, None, :], cr_z[:, None, :]], axis=1
-    ).reshape(m * geom.blocks_per_mcu, 64)
-    init_dc = jnp.zeros((3,), jnp.int32)
-    diff_y = entropy._seq_diff(
-        y_mcu[:, :, 0].astype(jnp.int32).reshape(-1), init_dc[0])
-    diff_cb = entropy._seq_diff(cb_z[:, 0].astype(jnp.int32), init_dc[1])
-    diff_cr = entropy._seq_diff(cr_z[:, 0].astype(jnp.int32), init_dc[2])
-    entry_diff = jnp.concatenate(
-        [diff_y.reshape(m, hv), diff_cb[:, None], diff_cr[:, None]], axis=1
-    ).reshape(m * geom.blocks_per_mcu)
-    return rows, entry_diff
+    """Shared scan-order marshalling (ops/entropy.marshal_scan_inputs)."""
+    return entropy.marshal_scan_inputs(
+        y_z, cb_z, cr_z, geom, coeffs_zigzagged=True
+    )
 
 
 @jax.jit

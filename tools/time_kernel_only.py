@@ -34,23 +34,9 @@ def front(im):
     y_z, cb_z, cr_z = dct.dct_quantize_planes(
         sample.blockify(y), sample.blockify(cb), sample.blockify(cr),
         DctAlgorithm.REAL_DCT, False, zigzag_out=True)
-    h, v = geom.h_factor, geom.v_factor
-    m = geom.num_mcus
-    by, bx = geom.luma_blocks_y, geom.luma_blocks_x
-    sup = (y_z.reshape(by // v, v, bx // h, h, 64)
-           .transpose(0, 2, 1, 3, 4).reshape(-1, h * v, 64))[:m]
-    rows = jnp.concatenate(
-        [sup, cb_z[:, None, :], cr_z[:, None, :]], axis=1
-    ).reshape(m * geom.blocks_per_mcu, 64)
-    init_dc = jnp.zeros((3,), jnp.int32)
-    dy = entropy._seq_diff(
-        sup[:, :, 0].astype(jnp.int32).reshape(-1), init_dc[0])
-    dcb = entropy._seq_diff(cb_z[:, 0].astype(jnp.int32), init_dc[1])
-    dcr = entropy._seq_diff(cr_z[:, 0].astype(jnp.int32), init_dc[2])
-    ed = jnp.concatenate(
-        [dy.reshape(m, h * v), dcb[:, None], dcr[:, None]], axis=1
-    ).reshape(m * geom.blocks_per_mcu)
-    return rows, ed
+    return entropy.marshal_scan_inputs(
+        y_z, cb_z, cr_z, geom, coeffs_zigzagged=True
+    )
 
 
 zs, ds = jax.jit(jax.vmap(front))(images)
