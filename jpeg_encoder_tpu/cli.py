@@ -115,13 +115,32 @@ def main(argv: list[str] | None = None) -> int:
     print(f'output: "{output_path}"')
     print(f'subsampling ratio: "{ratio}"')
     print(f'dct algorithm: "{args.dct_algorithm}"')
+    print()
 
     from jpeg_encoder_tpu import pipeline  # defer jax import past arg errors
+    from jpeg_encoder_tpu.io import bmp
 
+    # Stage banners match the reference's println! sequence (main.rs:16-67).
+    # Note the middle three stages are ONE fused device program here
+    # (pipeline.encode_core), so their banners bracket a single dispatch;
+    # they mark reference-parity checkpoints, not separate host stages.
     t0 = time.perf_counter()
     try:
         with _maybe_trace(args.trace):
-            result = pipeline.encode_file(image_path, output_path, config)
+            print("Loading bmp...")
+            rgb = bmp.read(image_path)
+            print("Loaded!")
+            print("Chrominance downsampling...")
+            print("Done!")
+            print("Performing Discrete Cosine Transform + Quantization...")
+            print("Done!")
+            print("Entropy encoding...")
+            result = pipeline.encode_array(rgb, config)
+            print("Done!")
+            print("Creating file")
+            with open(output_path, "wb") as f:
+                f.write(result.file_bytes)
+            print("Done!")
     except (OSError, ValueError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 1

@@ -25,9 +25,14 @@ _tried = False
 
 
 def _build() -> bool:
+    # Per-process temp name: concurrent builders (multi-host encode_dataset,
+    # parallel pytest) must not interleave writes into one .tmp file — a
+    # corrupt .so with a fresh mtime would pass the staleness check and
+    # silently pin every later run to the NumPy fallback.
+    tmp = f"{_LIB}.{os.getpid()}.tmp"
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-        "-o", _LIB + ".tmp", _SRC,
+        "-o", tmp, _SRC,
     ]
     try:
         proc = subprocess.run(
@@ -42,7 +47,12 @@ def _build() -> bool:
             file=sys.stderr,
         )
         return False
-    os.replace(_LIB + ".tmp", _LIB)
+    try:
+        ctypes.CDLL(tmp)  # verify loadability before installing
+    except OSError:
+        os.unlink(tmp)
+        return False
+    os.replace(tmp, _LIB)
     return True
 
 
@@ -94,6 +104,17 @@ def load() -> ctypes.CDLL | None:
         try:
             _lib = _bind(ctypes.CDLL(_LIB))
         except OSError:
-            _lib = None
+            # A stale-but-corrupt library (e.g. from a killed build of an
+            # older version of this loader): rebuild once instead of caching
+            # the failure for the life of the process.
+            try:
+                os.unlink(_LIB)
+            except OSError:
+                pass
+            if _build():
+                try:
+                    _lib = _bind(ctypes.CDLL(_LIB))
+                except OSError:
+                    _lib = None
         _tried = True
         return _lib

@@ -41,6 +41,11 @@ def subsample_plane(plane: jnp.ndarray, geom: FrameGeometry) -> jnp.ndarray:
     h, v = geom.h_factor, geom.v_factor
     if h == 1 and v == 1:
         return plane
+    if h not in (1, 2) or v not in (1, 2):
+        # The strided-pair path below covers factors 1 and 2 only (all three
+        # reference ratios); a factor-4 ratio (4:1:1) must not silently skip
+        # the reduction.
+        raise NotImplementedError(f"unsupported subsampling factors ({h}, {v})")
     # Pairwise strided adds (rows, then columns) lower ~4x faster on TPU
     # than the 4-D reshape + two-axis reduction; int16 holds the <= 1020
     # window sums. Values are identical: same windows, same floor mean.

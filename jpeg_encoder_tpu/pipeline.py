@@ -217,7 +217,15 @@ def encode_array(
         if bit_length <= 8 * capacity:
             break
         # Payload overflowed the estimate (pack_entries drops the excess but
-        # reports the true length): re-encode with a bigger buffer.
+        # reports the true length): re-encode with a bigger buffer. The
+        # ladder tops out at the worst case; exceeding THAT means the
+        # bits-per-entry bound was violated (a packer bug) — raise rather
+        # than retry the same capacity forever.
+        if capacity >= worst_case_capacity_bytes(geom):
+            raise AssertionError(
+                f"packed bit length {bit_length} exceeds the worst-case "
+                f"capacity {capacity} B — entropy packer invariant violated"
+            )
         capacity = next_capacity_bytes(geom, capacity)
     num_bytes = (bit_length + 7) // 8
     payload = np.asarray(out["payload"])[:num_bytes].tobytes()

@@ -29,6 +29,14 @@ def splice_bitstreams(chunks: list[tuple[np.ndarray, int]]) -> tuple[bytes, int]
     Returns:
       (spliced bytes, total bit length); the final partial byte zero-filled.
     """
+    for arr, nbits in chunks:
+        if int(nbits) < 0:
+            raise ValueError(f"negative bit length {int(nbits)}")
+        if arr.size < (int(nbits) + 7) // 8:
+            raise ValueError(
+                f"chunk declares {int(nbits)} bits but holds only "
+                f"{arr.size} bytes"
+            )
     total_bits = sum(int(n) for _, n in chunks)
     lib = native.load()
     if lib is not None and chunks:
@@ -41,7 +49,10 @@ def splice_bitstreams(chunks: list[tuple[np.ndarray, int]]) -> tuple[bytes, int]
         lens = (ctypes.c_int64 * len(arrays))(*[int(n) for _, n in chunks])
         out = np.zeros((total_bits + 7) // 8, dtype=np.uint8)
         got = lib.jt_splice_bits(ptrs, lens, len(arrays), out.ctypes.data_as(u8p))
-        assert got == total_bits
+        if got != total_bits:
+            raise RuntimeError(
+                f"native splice returned {got} bits, expected {total_bits}"
+            )
         return out.tobytes(), total_bits
     out = np.zeros((total_bits + 7) // 8, dtype=np.uint8)
     offset = 0

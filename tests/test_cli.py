@@ -43,6 +43,24 @@ def test_single_image_encode(tmp_path, rng, capsys):
     assert data.startswith(b"\xff\xd8") and data.endswith(b"\xff\xd9")
     stdout = capsys.readouterr().out
     assert "megapixels_per_second" in stdout
+    # Reference-parity stage banners, in order (main.rs:16-67).
+    banners = [
+        "Loading bmp...",
+        "Loaded!",
+        "Chrominance downsampling...",
+        "Done!",
+        "Performing Discrete Cosine Transform + Quantization...",
+        "Done!",
+        "Entropy encoding...",
+        "Done!",
+        "Creating file",
+        "Done!",
+    ]
+    pos = 0
+    for banner in banners:
+        found = stdout.find(banner, pos)
+        assert found >= 0, f"missing banner {banner!r} after offset {pos}"
+        pos = found + len(banner)
 
 
 def test_batch_glob_encode(tmp_path, rng):
