@@ -47,6 +47,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="DCT algorithm (default real-dct)",
     )
     parser.add_argument(
+        "--bin-dct-descale", action="store_true",
+        help="with -d bin-dct: fold the lifting network's diagonal gains "
+        "into quantization (the corrected binDCT-C) instead of reproducing "
+        "the reference's de-scaling bug",
+    )
+    parser.add_argument(
         "--fast-dct", action="store_true",
         help="use the MXU matmul RealDCT (fastest; quantized coefficients may "
         "differ from the scalar reference in ~1e-5 of values)",
@@ -104,6 +110,7 @@ def main(argv: list[str] | None = None) -> int:
         subsampling_ratio=ratio,
         dct_algorithm=DctAlgorithm(args.dct_algorithm),
         fast_dct=args.fast_dct,
+        bin_dct_descale=args.bin_dct_descale,
     )
 
     if len(inputs) > 1:

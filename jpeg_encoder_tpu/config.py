@@ -150,6 +150,14 @@ class EncoderConfig:
     # summation order; ~1e-5 of coefficients land one quantization step away
     # from the reference (visually and PSNR-wise indistinguishable).
     fast_dct: bool = False
+    # binDCT flavor. False (default) = reference bug-parity: raw lifting
+    # outputs quantized directly, reproducing the acknowledged de-scaling
+    # defect (dct_quant.rs:182-186, "weird line patterns" per
+    # jpeg_theory.md:145-147). True = scale-folded binDCT-C: the lifting
+    # network's diagonal gains are folded into the quantization step
+    # (ops/dct.bindct_descale_2d), giving properly normalized coefficients
+    # and image quality within a few dB of real-dct.
+    bin_dct_descale: bool = False
     # Run DCT+quantization through the fused Pallas kernels
     # (kernels/dct_pallas.py: level shift, transform, quant divide and the
     # zigzag permutation in one VMEM pass) instead of the XLA-fused ops

@@ -115,6 +115,7 @@ def dct_quantize_planes(
     algorithm: DctAlgorithm,
     fast_dct: bool = False,
     zigzag_out: bool = False,
+    bin_dct_descale: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """All three planes through ONE transform chain (measured ~1 ms/batch
     faster than three separate fusions at 1080p).
@@ -141,6 +142,13 @@ def dct_quantize_planes(
         q = per_row_q(tables.Y_QUANT_TABLE, tables.C_QUANT_TABLE, np.float32)
         fn = real_dct_quant if fast_dct else real_dct_quant_ordered
         out = fn(allb, quant=None, zigzag_out=zigzag_out, q_rows=q)
+    elif bin_dct_descale:
+        q = per_row_q(tables.Y_QUANT_TABLE, tables.C_QUANT_TABLE, np.float32)
+        s = jnp.asarray(bindct_descale_2d())[None, :]
+        work = _bindct_transform(allb)
+        out = jnp.trunc(work.astype(jnp.float32) * s / q).astype(jnp.int16)
+        if zigzag_out:
+            out = out[:, tables.ZIGZAG_ORDER]
     else:
         q = per_row_q(tables.Y_QUANT_TABLE, tables.C_QUANT_TABLE, np.int32)
         work = _bindct_transform(allb)
@@ -238,6 +246,65 @@ def _bindct_lifting_1d(x: list[jnp.ndarray]) -> list[jnp.ndarray]:
     return [t0, t7, t3, t6, t1, t5, t2, t4]
 
 
+@functools.cache
+def bindct_descale_2d() -> np.ndarray:
+    """(64,) f32 factors mapping raw binDCT outputs to true DCT coefficients.
+
+    The reference never de-scales its lifting outputs before quantization
+    (dct_quant.rs:182-186) — the acknowledged "weird line patterns" bug
+    (jpeg_theory.md:145-147). The fix: linearize the lifting network
+    (shift -> exact division), fit each output row to its cosine-basis row
+    by least squares to get the per-frequency gain g_u (negative where the
+    network flips the sign), and fold the 2-D correction
+    0.25 * alpha_u * alpha_v / (g_u * g_v) into the quantization step, so
+    out[u,v] * factor ~= the normalized DCT-II coefficient the Annex-K
+    tables were designed for.
+    """
+    def lift(x):
+        x0, x1, x2, x3, x4, x5, x6, x7 = x
+        s7 = x0 - x7
+        s0 = x0 - s7 / 2
+        s6 = x1 - x6
+        s1 = x1 - s6 / 2
+        s5 = x2 - x5
+        s2 = x2 - s5 / 2
+        s4 = x3 - x4
+        s3 = x3 - s4 / 2
+        s6 = (s5 * 3) / 8 + s6
+        s5 = (s6 * 5) / 8 - s5
+        t0 = s0 + s3
+        t3 = s0 - s3
+        t1 = s1 + s2
+        t2 = s1 - s2
+        t4 = s4 + s5
+        t5 = s4 - s5
+        t6 = s7 - s6
+        t7 = s7 + s6
+        t4 = t4 - t7 / 8
+        t0 = t0 + t1
+        t1 = -t1 + t0 / 2
+        t2 = t2 - (t3 * 3) / 8
+        t3 = t3 + (t2 * 3) / 8
+        t5 = t5 + (t6 * 7) / 8
+        t6 = t6 - t5 / 2
+        return [t0, t7, t3, t6, t1, t5, t2, t4]
+
+    t = np.zeros((8, 8))
+    for i in range(8):
+        e = [0.0] * 8
+        e[i] = 1.0
+        t[:, i] = lift(e)
+    u = np.arange(8)[:, None]
+    x = np.arange(8)[None, :]
+    braw = np.cos((2 * x + 1) * u * np.pi / 16)
+    gains = np.array(
+        [(t[r] @ braw[r]) / (braw[r] @ braw[r]) for r in range(8)]
+    )
+    alpha = np.where(np.arange(8) == 0, 1.0 / np.sqrt(2.0), 1.0)
+    per_axis = 0.5 * alpha / gains  # sqrt of the 2-D 0.25 normalization
+    return (per_axis[:, None] * per_axis[None, :]).reshape(64).astype(_F32)
+
+
 def _bindct_transform(blocks_u8: jnp.ndarray) -> jnp.ndarray:
     """(N, 64) uint8 -> (N, 64) int32 un-quantized binDCT coefficients."""
     work = blocks_u8.astype(jnp.int32).reshape(-1, 8, 8) - 128
@@ -247,9 +314,22 @@ def _bindct_transform(blocks_u8: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(cols, axis=1).reshape(-1, 64)
 
 
-def bin_dct_quant(blocks_u8: jnp.ndarray, quant: np.ndarray) -> jnp.ndarray:
-    """(N, 64) uint8 blocks -> (N, 64) int16 quantized binDCT coefficients."""
+def bin_dct_quant(
+    blocks_u8: jnp.ndarray, quant: np.ndarray, descale: bool = False
+) -> jnp.ndarray:
+    """(N, 64) uint8 blocks -> (N, 64) int16 quantized binDCT coefficients.
+
+    descale=False reproduces the reference's bug-parity path (raw lifting
+    outputs divided by the Annex-K table); descale=True folds the lifting
+    network's diagonal gains into the quantization (bindct_descale_2d) so
+    the output approximates a properly normalized DCT — the corrected
+    binDCT-C the reference acknowledges it lacks.
+    """
     work = _bindct_transform(blocks_u8)
+    if descale:
+        s = jnp.asarray(bindct_descale_2d())[None, :]
+        q = jnp.asarray(quant.reshape(64).astype(np.float32))[None, :]
+        return jnp.trunc(work.astype(jnp.float32) * s / q).astype(jnp.int16)
     q = jnp.asarray(quant.reshape(64).astype(np.int32))
     return _trunc_div_int(work, q).astype(jnp.int16)
 
@@ -260,6 +340,7 @@ def dct_quantize(
     algorithm: DctAlgorithm,
     fast_dct: bool = False,
     zigzag_out: bool = False,
+    bin_dct_descale: bool = False,
 ) -> jnp.ndarray:
     """zigzag_out folds the zigzag permutation into the transform's
     per-lane constants (RealDCT) or applies it to the result (binDCT),
@@ -268,7 +349,7 @@ def dct_quantize(
         if fast_dct:
             return real_dct_quant(blocks_u8, quant, zigzag_out)
         return real_dct_quant_ordered(blocks_u8, quant, zigzag_out)
-    out = bin_dct_quant(blocks_u8, quant)
+    out = bin_dct_quant(blocks_u8, quant, descale=bin_dct_descale)
     if zigzag_out:
         from jpeg_encoder_tpu import tables
 

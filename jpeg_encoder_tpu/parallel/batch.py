@@ -30,11 +30,15 @@ def compiled_batch_encoder(
     algorithm: DctAlgorithm,
     capacity_bytes: int,
     fast_dct: bool = False,
+    bin_dct_descale: bool = False,
 ):
     """Jitted (B, H, W, 3) -> ((B, capacity) payloads, (B,) bit lengths)."""
 
     def per_image(rgb):
-        out = pipeline.encode_core(rgb, geom, algorithm, capacity_bytes, fast_dct)
+        out = pipeline.encode_core(
+            rgb, geom, algorithm, capacity_bytes, fast_dct,
+            bin_dct_descale=bin_dct_descale,
+        )
         return out["payload"], out["total_bits"]
 
     def per_shard(batch):  # (B_local, H, W, 3)
@@ -79,7 +83,8 @@ def encode_batch(
     device_images = jnp.asarray(images)
     while True:
         encoder = compiled_batch_encoder(
-            mesh, geom, config.dct_algorithm, capacity, config.fast_dct
+            mesh, geom, config.dct_algorithm, capacity, config.fast_dct,
+            config.bin_dct_descale,
         )
         payloads, bit_lengths = encoder(device_images)
         bit_lengths = np.asarray(bit_lengths)

@@ -95,6 +95,7 @@ def encode_core(
     use_pallas: bool = False,
     validate: bool = False,
     with_coeffs: bool = True,
+    bin_dct_descale: bool = False,
 ) -> dict[str, jnp.ndarray]:
     """(H, W, 3) uint8 -> packed entropy payload + quantized coefficients.
 
@@ -110,6 +111,10 @@ def encode_core(
     cr = sample.subsample_plane(sample.pad_plane(cr, geom), geom)
 
     packer = default_packer(capacity_bytes)
+    if bin_dct_descale and algorithm == DctAlgorithm.BIN_DCT:
+        # The corrected binDCT runs through the ops path (the Pallas DCT
+        # kernels implement only the bug-parity variant).
+        use_pallas = False
     if use_pallas:
         from jpeg_encoder_tpu.kernels import dct_pallas
 
@@ -134,6 +139,7 @@ def encode_core(
         y_z, cb_z, cr_z = dct.dct_quantize_planes(
             sample.blockify(y), sample.blockify(cb), sample.blockify(cr),
             algorithm, fast_dct, zigzag_out=True,
+            bin_dct_descale=bin_dct_descale,
         )
         payload, total_bits = entropy.encode_scan(
             y_z, cb_z, cr_z, geom, capacity_bytes, coeffs_zigzagged=True,
@@ -163,13 +169,14 @@ def compiled_encoder(
     use_pallas: bool = False,
     validate: bool = False,
     with_coeffs: bool = False,
+    bin_dct_descale: bool = False,
 ):
     """Jitted encode_core for one static configuration (cached)."""
 
     def fn(rgb: jnp.ndarray) -> dict[str, jnp.ndarray]:
         return encode_core(
             rgb, geom, algorithm, capacity_bytes, fast_dct, use_pallas,
-            validate, with_coeffs,
+            validate, with_coeffs, bin_dct_descale,
         )
 
     return jax.jit(fn)
@@ -208,6 +215,7 @@ def encode_array(
         out = compiled_encoder(
             geom, config.dct_algorithm, capacity, config.fast_dct,
             config.use_pallas, config.validate, return_coeffs,
+            config.bin_dct_descale,
         )(device_rgb)
         if config.validate:
             validate_scan_ranges(

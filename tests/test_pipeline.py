@@ -69,6 +69,72 @@ def test_decode_psnr_smooth_content(ratio):
     assert psnr > 30.0, f"PSNR {psnr:.2f} dB too low for smooth content"
 
 
+def _decode_psnr(rgb, file_bytes):
+    decoded = np.asarray(Image.open(_io.BytesIO(file_bytes)).convert("RGB"))
+    mse = np.mean((decoded.astype(np.float64) - rgb.astype(np.float64)) ** 2)
+    return 10 * np.log10(255.0**2 / max(mse, 1e-12))
+
+
+def test_bin_dct_descale_fixes_quality():
+    """The corrected binDCT (scale-folded gains) must erase the reference's
+    de-scaling artifact: decoded PSNR within a few dB of real-dct on the
+    same content, and far above the bug-parity binDCT, with smaller files
+    (SURVEY quirk 2; dct_quant.rs:182-186, jpeg_theory.md:145-147)."""
+    rgb = _gradient_image(64, 48)
+    real = pipeline.encode_array(
+        rgb, EncoderConfig(dct_algorithm=DctAlgorithm.REAL_DCT)
+    )
+    parity = pipeline.encode_array(
+        rgb, EncoderConfig(dct_algorithm=DctAlgorithm.BIN_DCT)
+    )
+    fixed = pipeline.encode_array(
+        rgb,
+        EncoderConfig(dct_algorithm=DctAlgorithm.BIN_DCT, bin_dct_descale=True),
+    )
+    psnr_real = _decode_psnr(rgb, real.file_bytes)
+    psnr_parity = _decode_psnr(rgb, parity.file_bytes)
+    psnr_fixed = _decode_psnr(rgb, fixed.file_bytes)
+    assert psnr_fixed > psnr_parity + 5.0, (
+        f"descale {psnr_fixed:.1f} dB should beat parity {psnr_parity:.1f} dB"
+    )
+    assert psnr_fixed > psnr_real - 6.0, (
+        f"descale {psnr_fixed:.1f} dB too far below real-dct {psnr_real:.1f} dB"
+    )
+    assert len(fixed.file_bytes) < len(parity.file_bytes)
+
+
+def test_bin_dct_descale_coefficients_near_real_dct(rng):
+    """Descaled binDCT quantized coefficients approximate the real DCT's
+    (that is the point of folding the gains); bug-parity ones do not."""
+    rgb = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    config_real = EncoderConfig(subsampling_ratio=(4, 4, 4))
+    _, real_coeffs = pipeline.encode_array(rgb, config_real, return_coeffs=True)
+    _, fixed_coeffs = pipeline.encode_array(
+        rgb,
+        EncoderConfig(
+            subsampling_ratio=(4, 4, 4),
+            dct_algorithm=DctAlgorithm.BIN_DCT,
+            bin_dct_descale=True,
+        ),
+        return_coeffs=True,
+    )
+    _, parity_coeffs = pipeline.encode_array(
+        rgb,
+        EncoderConfig(
+            subsampling_ratio=(4, 4, 4), dct_algorithm=DctAlgorithm.BIN_DCT
+        ),
+        return_coeffs=True,
+    )
+    err_fixed = np.mean(
+        np.abs(fixed_coeffs[0].astype(np.int32) - real_coeffs[0].astype(np.int32))
+    )
+    err_parity = np.mean(
+        np.abs(parity_coeffs[0].astype(np.int32) - real_coeffs[0].astype(np.int32))
+    )
+    assert err_fixed < 1.0, f"mean |descale - real| = {err_fixed:.2f}"
+    assert err_fixed < err_parity / 2
+
+
 def test_compression_actually_compresses():
     rgb = _gradient_image(128, 96)
     result = pipeline.encode_array(rgb, EncoderConfig())
