@@ -177,6 +177,7 @@ def encode_scan(
     init_dc: jnp.ndarray | None = None,
     coeffs_zigzagged: bool = False,
     packer: str = "xla",
+    live_entries: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Quantized coefficients -> packed entropy bytes.
 
@@ -197,6 +198,12 @@ def encode_scan(
         (kernels/entropy_pallas.py: symbolization + Huffman + packing in
         one kernel — the TPU default), or the "*_interpret" variants for
         CPU tests.
+      live_entries: optional traced scalar; scan entries at index >=
+        live_entries emit zero bits (their coefficients may be arbitrary).
+        Used by uneven MCU-band sharding (parallel/tiled.py) where the
+        trailing band(s) carry padding rows: dead entries are always a
+        suffix of the scan, so the live prefix's bits and total are
+        unaffected. Not supported by the fused packer.
 
     Returns:
       (bytes_u8 of shape (capacity_bytes,), total_bits scalar int32). The
@@ -216,6 +223,10 @@ def encode_scan(
     if packer in ("fused", "fused_interpret"):
         # Everything below (symbolization, LUTs, packing) happens inside
         # the fused Pallas kernel; only marshalling stays in XLA.
+        if live_entries is not None:
+            raise NotImplementedError(
+                "live_entries masking requires the xla/pallas packers"
+            )
         from jpeg_encoder_tpu.kernels import entropy_pallas
 
         words, total_bits = entropy_pallas.encode_entropy_fused(
@@ -308,6 +319,18 @@ def encode_scan(
     slot_lens = jnp.concatenate(
         [dc_len[:, None], ac_len[:, 1:], eob_len[:, None]], axis=1
     ).astype(jnp.int32)
+
+    if live_entries is not None:
+        # Dead suffix entries (padding MCU rows of an uneven band split)
+        # emit nothing. Their slot buffers zero out, so the packers' gather
+        # windows read zeros past the live stream, and the cumsum-derived
+        # total counts only live bits.
+        live = (
+            jnp.arange(slot_lens.shape[0], dtype=jnp.int32)
+            < live_entries
+        )[:, None]
+        slot_lens = jnp.where(live, slot_lens, 0)
+        slot_bits = jnp.where(live, slot_bits, jnp.uint32(0))
 
     if packer == "xla":
         return pack_entries(slot_bits, slot_lens, capacity_bytes)

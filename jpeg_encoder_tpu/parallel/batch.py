@@ -81,23 +81,34 @@ def encode_batch(
         images = np.concatenate([images, pad])
 
     device_images = jnp.asarray(images)
-    while True:
-        encoder = compiled_batch_encoder(
-            mesh, geom, config.dct_algorithm, capacity, config.fast_dct,
-            config.bin_dct_descale,
-        )
-        payloads, bit_lengths = encoder(device_images)
-        bit_lengths = np.asarray(bit_lengths)
-        if int(bit_lengths.max()) <= 8 * capacity:
-            break
-        # Some image overflowed the capacity estimate: grow and re-encode.
-        capacity = pipeline.next_capacity_bytes(geom, capacity)
+    encoder = compiled_batch_encoder(
+        mesh, geom, config.dct_algorithm, capacity, config.fast_dct,
+        config.bin_dct_descale,
+    )
+    payloads, bit_lengths = encoder(device_images)
+    bit_lengths = np.asarray(bit_lengths)
     payloads = np.asarray(payloads)
 
     files = []
     header = jfif.header_bytes(geom)
     for i in range(batch):
-        nbytes = (int(bit_lengths[i]) + 7) // 8
+        bits = int(bit_lengths[i])
+        if bits > 8 * capacity:
+            # This image overflowed the shared capacity estimate. Re-encode
+            # only it through the single-image path (same program semantics,
+            # so the payload is byte-identical) starting one rung up the
+            # capacity ladder — re-running the whole batch at 8x capacity
+            # would inflate every member's buffer toward the fused kernel's
+            # VMEM ceiling for one pathological image.
+            result = pipeline.encode_array(
+                np.asarray(images[i]), config,
+                _initial_capacity_bytes=pipeline.next_capacity_bytes(
+                    geom, capacity
+                ),
+            )
+            files.append(result.file_bytes)
+            continue
+        nbytes = (bits + 7) // 8
         scan = jfif.stuff_bytes(payloads[i, :nbytes])
         files.append(header + scan + jfif.EOI)
     return files

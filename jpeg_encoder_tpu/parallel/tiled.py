@@ -17,9 +17,17 @@ state, both tiny:
 The result is byte-identical to the single-device encode (asserted in
 tests on a virtual 8-device mesh).
 
-Constraints: the global MCU row count must divide by the mesh size, and the
-degenerate width/height % (8*factor) == 1 geometries (where the reference's
-chroma grid misaligns with the luma superblock grid; see
+Uneven splits are supported: when the MCU row count does not divide by the
+mesh size, every device still gets ceil(mcu_rows / n_dev) MCU rows of
+(zero-padded) input, and trailing scan entries beyond the image's real MCU
+rows are masked to emit zero bits (ops/entropy.encode_scan live_entries).
+Dead entries are always a suffix of the scan — only the last partially- or
+fully-dead bands carry them — so the live bit prefix is untouched, and a
+dead band's (meaningless) final-DC handoff is only ever consumed by a band
+that emits nothing.
+
+The degenerate width/height % (8*factor) == 1 geometries (where the
+reference's chroma grid misaligns with the luma superblock grid; see
 oracle.subsample_plane) are rejected — band-local encoding cannot reproduce
 that global misalignment, and no real image hits it deliberately.
 """
@@ -51,10 +59,67 @@ def _check_tileable(geom: FrameGeometry, n_dev: int) -> None:
             f"dimensions {geom.width}x{geom.height} hit the reference's "
             "dim % (8*factor) == 1 misalignment quirk"
         )
-    if geom.mcu_rows % n_dev != 0:
-        raise ValueError(
-            f"MCU row count {geom.mcu_rows} must divide by mesh size {n_dev}"
-        )
+
+
+def _band_rows(geom: FrameGeometry, n_dev: int) -> int:
+    """MCU rows per band: ceil so n_dev equal bands cover the image."""
+    return -(-geom.mcu_rows // n_dev)
+
+
+def _live_mcu_rows(geom: FrameGeometry, n_dev: int, idx: int) -> int:
+    return max(0, min(geom.mcu_rows - idx * _band_rows(geom, n_dev),
+                      _band_rows(geom, n_dev)))
+
+
+def _encode_band(rgb_band, band_geom, algorithm, capacity, fast_dct,
+                 bin_dct_descale, init_dc, live_entries=None,
+                 packer="xla", live_px_rows=None):
+    """One band's full compute: planes -> coefficients -> packed bits.
+
+    Shared between the shard_map program and the single-band overflow
+    retry so both are the same arithmetic (byte-identical outputs).
+
+    init_dc is either the (3,) initial DC predictors, or a callable that
+    maps this band's final (Y, Cb, Cr) DC values to its predictors — the
+    shard_map program passes the ppermute chain here, since the exchange
+    can only happen once the band's own DCT output exists.
+
+    live_px_rows (traced scalar) zeroes plane rows at or beyond the
+    original image height AFTER color conversion — the reference's padding
+    lives in the Y/Cb/Cr planes (value 0), not in RGB space, where zero
+    pixels would convert to Cb = Cr = 128.
+
+    Returns (payload, bits, init_dc_resolved).
+    """
+    y, cb, cr = color.rgb_to_ycbcr(rgb_band)
+    if live_px_rows is not None:
+        live = (jnp.arange(rgb_band.shape[0]) < live_px_rows)[:, None]
+        y = jnp.where(live, y, 0)
+        cb = jnp.where(live, cb, 0)
+        cr = jnp.where(live, cr, 0)
+    y = sample.pad_plane(y, band_geom)
+    cb = sample.subsample_plane(sample.pad_plane(cb, band_geom), band_geom)
+    cr = sample.subsample_plane(sample.pad_plane(cr, band_geom), band_geom)
+
+    y_q = dct.dct_quantize(
+        sample.blockify(y), tables.Y_QUANT_TABLE, algorithm, fast_dct,
+        bin_dct_descale=bin_dct_descale,
+    )
+    cb_q = dct.dct_quantize(
+        sample.blockify(cb), tables.C_QUANT_TABLE, algorithm, fast_dct,
+        bin_dct_descale=bin_dct_descale,
+    )
+    cr_q = dct.dct_quantize(
+        sample.blockify(cr), tables.C_QUANT_TABLE, algorithm, fast_dct,
+        bin_dct_descale=bin_dct_descale,
+    )
+    if callable(init_dc):
+        init_dc = init_dc(entropy.final_dc(y_q, cb_q, cr_q, band_geom))
+    payload, bits = entropy.encode_scan(
+        y_q, cb_q, cr_q, band_geom, capacity, init_dc=init_dc,
+        live_entries=live_entries, packer=packer,
+    )
+    return payload, bits, init_dc
 
 
 @functools.lru_cache(maxsize=32)
@@ -64,58 +129,85 @@ def compiled_tiled_encoder(
     algorithm: DctAlgorithm,
     capacity: int,
     fast_dct: bool = False,
+    bin_dct_descale: bool = False,
 ):
-    """Jitted (padded_height, W, 3) -> ((n_dev, cap) payloads, (n_dev,) bits)."""
+    """Jitted (n_dev * band_h, W, 3) -> ((n_dev, cap) payloads,
+    (n_dev,) bit lengths, (n_dev, 3) per-band initial DC predictors)."""
     n_dev = mesh.devices.size
-    band_h = geom.padded_height // n_dev
+    band_rows = _band_rows(geom, n_dev)
+    band_h = band_rows * 8 * geom.v_factor
     band_geom = _band_geometry(geom, band_h)
+    uneven = geom.mcu_rows % n_dev != 0
+    entries_per_mcu_row = geom.mcu_cols * geom.blocks_per_mcu
+    # The fused entropy kernel doesn't take a live-entry mask, so uneven
+    # splits drop to the XLA packer (still byte-identical, just slower on
+    # chip; even splits — the common large-image case — stay fused).
+    packer = "xla" if uneven else pipeline.default_packer(capacity)
 
     def shard_fn(rgb_band):  # (band_h, W, 3) uint8
         idx = jax.lax.axis_index(DATA_AXIS)
-        y, cb, cr = color.rgb_to_ycbcr(rgb_band)
         # Rows at or beyond the original image height are zero in the
         # reference's planes (the host hands us arbitrary padding content).
-        row = idx * band_h + jnp.arange(band_h)
-        live = (row < geom.height)[:, None]
-        y = jnp.where(live, y, 0)
-        cb = jnp.where(live, cb, 0)
-        cr = jnp.where(live, cr, 0)
+        live_px_rows = jnp.clip(geom.height - idx * band_h, 0, band_h)
 
-        y = sample.pad_plane(y, band_geom)
-        cb = sample.subsample_plane(sample.pad_plane(cb, band_geom), band_geom)
-        cr = sample.subsample_plane(sample.pad_plane(cr, band_geom), band_geom)
-
-        y_q = dct.dct_quantize(
-            sample.blockify(y), tables.Y_QUANT_TABLE, algorithm, fast_dct
-        )
-        cb_q = dct.dct_quantize(
-            sample.blockify(cb), tables.C_QUANT_TABLE, algorithm, fast_dct
-        )
-        cr_q = dct.dct_quantize(
-            sample.blockify(cr), tables.C_QUANT_TABLE, algorithm, fast_dct
-        )
+        if uneven:
+            live_mcu = jnp.clip(
+                geom.mcu_rows - idx * band_rows, 0, band_rows
+            ).astype(jnp.int32)
+            live_entries = live_mcu * entries_per_mcu_row
+        else:
+            live_entries = None
 
         # Chain DC predictors: my final DCs become my successor's initers.
-        lasts = entropy.final_dc(y_q, cb_q, cr_q, band_geom)
-        prev = jax.lax.ppermute(
-            lasts, DATA_AXIS, [(i, i + 1) for i in range(n_dev - 1)]
-        )  # band 0 gets zeros: the scan's initial predictors
+        # (A trailing dead band receives a value derived from padding
+        # blocks, but it emits zero bits, so it never surfaces.)
+        def chain(lasts):
+            return jax.lax.ppermute(
+                lasts, DATA_AXIS, [(i, i + 1) for i in range(n_dev - 1)]
+            )  # band 0 gets zeros: the scan's initial predictors
 
-        payload, bits = entropy.encode_scan(
-            y_q, cb_q, cr_q, band_geom, capacity, init_dc=prev
+        payload, bits, prev = _encode_band(
+            rgb_band, band_geom, algorithm, capacity, fast_dct,
+            bin_dct_descale, chain, live_entries, packer, live_px_rows,
         )
-        return payload[None], bits[None]
+        return payload[None], bits[None], prev[None]
 
     sharded = shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=P(DATA_AXIS, None, None),
-        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS)),
+        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS, None)),
         # Pallas outputs don't carry vma metadata; every kernel here is
         # shard-local, so the varying-mesh-axes check adds nothing.
         check_vma=False,
     )
     return jax.jit(sharded)
+
+
+@functools.lru_cache(maxsize=32)
+def compiled_band_encoder(
+    band_geom: FrameGeometry,
+    algorithm: DctAlgorithm,
+    capacity: int,
+    fast_dct: bool = False,
+    bin_dct_descale: bool = False,
+):
+    """Jitted single-band re-encode for overflow retry: (band_h, W, 3) uint8
+    + (3,) int32 init_dc -> ((capacity,) payload, bits). Runs the exact
+    arithmetic of the in-mesh band program on the band's LIVE rows only
+    (the live scan prefix of a padded band equals the scan of the live-row
+    geometry), so the retried payload is byte-identical."""
+
+    def fn(rgb_band, init_dc, live_px_rows):
+        payload, bits, _ = _encode_band(
+            rgb_band, band_geom, algorithm, capacity, fast_dct,
+            bin_dct_descale, init_dc,
+            packer=pipeline.default_packer(capacity),
+            live_px_rows=live_px_rows,
+        )
+        return payload, bits
+
+    return jax.jit(fn)
 
 
 def _band_geometry(geom: FrameGeometry, band_h: int) -> FrameGeometry:
@@ -141,32 +233,80 @@ def encode_tiled(
     n_dev = mesh.devices.size
     _check_tileable(geom, n_dev)
 
-    padded = np.zeros((geom.padded_height, width, 3), np.uint8)
+    band_rows = _band_rows(geom, n_dev)
+    band_h = band_rows * 8 * geom.v_factor
+    total_h = band_h * n_dev  # >= geom.padded_height; extra rows stay zero
+    padded = np.zeros((total_h, width, 3), np.uint8)
     padded[:height] = rgb
 
-    band_geom = _band_geometry(geom, geom.padded_height // n_dev)
+    band_geom = _band_geometry(geom, band_h)
     capacity = pipeline.default_capacity_bytes(
         band_geom, config.capacity_bytes_per_pixel
     )
     device_rgb = jnp.asarray(padded)
-    while True:
-        encoder = compiled_tiled_encoder(
-            mesh, geom, config.dct_algorithm, capacity, config.fast_dct
-        )
-        payloads, bit_lengths = encoder(device_rgb)
-        bit_lengths = np.asarray(bit_lengths)
-        if int(bit_lengths.max()) <= 8 * capacity:
-            break
-        # A band overflowed the capacity estimate: grow and re-encode.
-        capacity = pipeline.next_capacity_bytes(band_geom, capacity)
-    payloads = np.asarray(payloads)
-
-    spliced, total_bits = splice_bitstreams(
-        [(payloads[i], int(bit_lengths[i])) for i in range(n_dev)]
+    encoder = compiled_tiled_encoder(
+        mesh, geom, config.dct_algorithm, capacity, config.fast_dct,
+        config.bin_dct_descale,
     )
+    payloads, bit_lengths, init_dcs = encoder(device_rgb)
+    bit_lengths = np.asarray(bit_lengths)
+    payloads = np.asarray(payloads)
+    init_dcs = np.asarray(init_dcs)
+
+    chunks = []
+    for i in range(n_dev):
+        bits = int(bit_lengths[i])
+        if bits <= 8 * capacity:
+            chunks.append((payloads[i], bits))
+            continue
+        # This band overflowed the shared capacity estimate: re-encode only
+        # it (with the init_dc the mesh program handed it) at larger
+        # capacities — never the whole image.
+        chunks.append(
+            _retry_band(padded, geom, config, n_dev, i, capacity, init_dcs[i])
+        )
+
+    spliced, total_bits = splice_bitstreams(chunks)
     return pipeline.EncodeResult(
         file_bytes=jfif.assemble(geom, spliced),
         entropy_payload=spliced,
         bit_length=total_bits,
         geom=geom,
     )
+
+
+def _retry_band(
+    padded: np.ndarray,
+    geom: FrameGeometry,
+    config: EncoderConfig,
+    n_dev: int,
+    idx: int,
+    capacity: int,
+    init_dc: np.ndarray,
+) -> tuple[np.ndarray, int]:
+    """Re-encode band `idx` alone, walking the capacity ladder upward."""
+    band_rows = _band_rows(geom, n_dev)
+    band_h = band_rows * 8 * geom.v_factor
+    live_rows = _live_mcu_rows(geom, n_dev, idx)
+    live_geom = _band_geometry(geom, live_rows * 8 * geom.v_factor)
+    band_rgb = jnp.asarray(
+        padded[idx * band_h : idx * band_h + live_geom.padded_height]
+    )
+    init = jnp.asarray(init_dc.astype(np.int32))
+    live_px = jnp.int32(
+        max(0, min(geom.height - idx * band_h, live_geom.padded_height))
+    )
+    while True:
+        if capacity >= pipeline.worst_case_capacity_bytes(live_geom):
+            raise AssertionError(
+                "band bit length exceeds the worst-case capacity — "
+                "entropy packer invariant violated"
+            )
+        capacity = pipeline.next_capacity_bytes(live_geom, capacity)
+        payload, bits = compiled_band_encoder(
+            live_geom, config.dct_algorithm, capacity, config.fast_dct,
+            config.bin_dct_descale,
+        )(band_rgb, init, live_px)
+        bits = int(bits)
+        if bits <= 8 * capacity:
+            return np.asarray(payload), bits

@@ -203,13 +203,21 @@ def encode_array(
     config: EncoderConfig = EncoderConfig(),
     *,
     return_coeffs: bool = False,
+    _initial_capacity_bytes: int | None = None,
 ):
-    """Encode an (H, W, 3) uint8 RGB array into JFIF bytes."""
+    """Encode an (H, W, 3) uint8 RGB array into JFIF bytes.
+
+    _initial_capacity_bytes starts the capacity ladder at a known rung
+    (used by the batch path to retry a single overflowed image without
+    repeating the rungs it already saw fail).
+    """
     if rgb.ndim != 3 or rgb.shape[2] != 3:
         raise ValueError("expected (H, W, 3) RGB input")
     height, width = rgb.shape[:2]
     geom = config.geometry(width, height)
-    capacity = default_capacity_bytes(geom, config.capacity_bytes_per_pixel)
+    capacity = _initial_capacity_bytes or default_capacity_bytes(
+        geom, config.capacity_bytes_per_pixel
+    )
     device_rgb = jnp.asarray(rgb, dtype=jnp.uint8)
     while True:
         out = compiled_encoder(

@@ -70,6 +70,51 @@ def test_batch_encode_matches_single(mesh8, rng):
         assert files[i] == single.file_bytes
 
 
+def test_batch_overflow_retries_only_overflowed_images(mesh8, rng, monkeypatch):
+    """One noisy image in a smooth batch overflows a deliberately tiny
+    capacity estimate: only that image may re-encode (through the
+    single-image ladder), and every output must match the unconstrained
+    per-image encode."""
+    # 288x288 noise packs ~180 kbit at 4:2:0 — past the 16384-byte
+    # (131072-bit) default_capacity_bytes floor — while the smooth
+    # gradient stays ~12 kbit, so exactly one batch member overflows.
+    side = 288
+    x = np.linspace(0, 255, side)[None, :, None]
+    smooth = np.broadcast_to(x, (side, side, 3)).astype(np.uint8)
+    images = np.stack([smooth] * 7 + [
+        rng.integers(0, 256, size=(side, side, 3), dtype=np.uint8)
+    ])
+    config = EncoderConfig(
+        subsampling_ratio=(4, 2, 0), capacity_bytes_per_pixel=0.07
+    )
+    geom = config.geometry(side, side)
+    capacity = pipeline.default_capacity_bytes(
+        geom, config.capacity_bytes_per_pixel
+    )
+    noisy_bits = pipeline.encode_array(images[7], config).bit_length
+    smooth_bits = pipeline.encode_array(images[0], config).bit_length
+    assert smooth_bits <= 8 * capacity < noisy_bits, (
+        f"test premise broken: smooth {smooth_bits} / cap {8 * capacity} / "
+        f"noisy {noisy_bits} bits"
+    )
+
+    calls = []
+    real_encode_array = pipeline.encode_array
+
+    def counting_encode_array(rgb, cfg, **kwargs):
+        calls.append(kwargs.get("_initial_capacity_bytes"))
+        return real_encode_array(rgb, cfg, **kwargs)
+
+    monkeypatch.setattr(pipeline, "encode_array", counting_encode_array)
+    files = batch.encode_batch(images, config, mesh8)
+    monkeypatch.undo()
+
+    assert len(calls) == 1, f"expected 1 single-image retry, saw {len(calls)}"
+    assert calls[0] == pipeline.next_capacity_bytes(geom, capacity)
+    for i in range(8):
+        assert files[i] == pipeline.encode_array(images[i], config).file_bytes
+
+
 @pytest.mark.parametrize("ratio", [(4, 4, 4), (4, 2, 2), (4, 2, 0)])
 def test_tiled_encode_matches_single(mesh8, ratio, rng):
     config = EncoderConfig(subsampling_ratio=ratio)
@@ -101,11 +146,70 @@ def test_tiled_rejects_quirk_width(mesh8, rng):
         tiled.encode_tiled(rgb, config, mesh8)
 
 
-def test_tiled_rejects_indivisible_rows(mesh8, rng):
-    config = EncoderConfig(subsampling_ratio=(4, 2, 0))
-    rgb = rng.integers(0, 256, size=(48, 32, 3), dtype=np.uint8)  # 3 MCU rows
-    with pytest.raises(ValueError, match="divide"):
-        tiled.encode_tiled(rgb, config, mesh8)
+@pytest.mark.parametrize(
+    "height,ratio",
+    [
+        (48, (4, 2, 0)),   # 3 MCU rows over 8 devices: 5 fully dead bands
+        (544, (4, 2, 0)),  # 34 MCU rows (4K-height analog): ceil -> 5-row
+                           # bands, band 6 partial (4 live rows), band 7 dead
+        (72, (4, 4, 4)),   # 9 MCU rows: 2-row bands, band 4 partial
+    ],
+)
+def test_tiled_encode_uneven_bands(mesh8, height, ratio, rng):
+    """MCU row counts that do NOT divide the mesh size still encode
+    byte-identically: trailing bands carry padding rows whose scan entries
+    are masked to emit zero bits."""
+    config = EncoderConfig(subsampling_ratio=ratio)
+    rgb = rng.integers(0, 256, size=(height, 32, 3), dtype=np.uint8)
+    result = tiled.encode_tiled(rgb, config, mesh8)
+    single = pipeline.encode_array(rgb, config)
+    assert result.bit_length == single.bit_length
+    assert result.file_bytes == single.file_bytes
+
+
+def test_tiled_overflow_retries_only_overflowed_bands(mesh8, rng, monkeypatch):
+    """One noisy MCU band in a smooth image overflows a deliberately tiny
+    capacity estimate: only that band re-encodes (alone, off-mesh), and the
+    spliced file still matches the single-device encode."""
+    # 256 rows = 16 MCU rows at 4:2:0 -> 8 bands of 32 rows; rows 96-128
+    # (band 3) are noise, the rest a horizontal gradient. The width makes
+    # the noise band's payload (~2.2 bits/px * 81920 px ~ 180 kbit) clear
+    # the 16384-byte default_capacity_bytes floor, while each gradient
+    # band stays far under it.
+    height, width = 256, 2560
+    x = np.linspace(0, 255, width)[None, :, None]
+    rgb = np.broadcast_to(x, (height, width, 3)).astype(np.uint8).copy()
+    rgb[96:128] = rng.integers(0, 256, size=(32, width, 3), dtype=np.uint8)
+
+    config = EncoderConfig(
+        subsampling_ratio=(4, 2, 0), capacity_bytes_per_pixel=0.04
+    )
+    band_geom = config.geometry(width, 32)
+    band_capacity = pipeline.default_capacity_bytes(
+        band_geom, config.capacity_bytes_per_pixel
+    )
+    noisy_bits = pipeline.encode_array(rgb[96:128], config).bit_length
+    assert noisy_bits > 8 * band_capacity, (
+        f"test premise broken: noise band {noisy_bits} bits vs capacity "
+        f"{8 * band_capacity}"
+    )
+    retries = []
+    real_band_encoder = tiled.compiled_band_encoder
+
+    def counting_band_encoder(band_geom, *a, **k):
+        retries.append(band_geom)
+        return real_band_encoder(band_geom, *a, **k)
+
+    monkeypatch.setattr(tiled, "compiled_band_encoder", counting_band_encoder)
+    result = tiled.encode_tiled(rgb, config, mesh8)
+    monkeypatch.undo()
+
+    single = pipeline.encode_array(rgb, config)
+    assert result.file_bytes == single.file_bytes
+    assert len(retries) >= 1, "expected at least one band retry"
+    # Only the noisy band (rows 96-128 = band 3 of 8) should have retried:
+    # every retry geometry is one 32-row band, never the whole image.
+    assert all(g.height == 32 for g in retries)
 
 
 def test_encode_dataset_manifest_and_resume(tmp_path, rng):
