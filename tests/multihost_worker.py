@@ -1,0 +1,71 @@
+"""Worker process for the 2-process multi-host integration test.
+
+Launched by tests/test_multihost.py as a pair of real OS processes — this
+is the only place `jax.distributed.initialize`, the `process_index()`
+file striding, and the `global_summary` cross-process allgather
+(parallel/multihost.py) execute with process_count > 1, which no
+single-process test can reach.
+
+Not a pytest module (no test_ prefix): invoked as
+`python tests/multihost_worker.py <coordinator> <pid> <nproc> <src> <out>`.
+"""
+
+import glob
+import json
+import os
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+
+def main() -> int:
+    coordinator, pid, nproc, src_dir, out_dir = sys.argv[1:6]
+
+    import jax
+
+    # Same platform override as tests/conftest.py: the container's
+    # sitecustomize aims jax at the tunneled TPU; flip to CPU before any
+    # backend initializes. Gloo drives the cross-process CPU collectives.
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from jpeg_encoder_tpu.config import EncoderConfig
+    from jpeg_encoder_tpu.parallel import multihost
+
+    idx, count = multihost.initialize(
+        coordinator_address=coordinator,
+        num_processes=int(nproc),
+        process_id=int(pid),
+    )
+    assert idx == int(pid), (idx, pid)
+    assert count == int(nproc), (count, nproc)
+
+    paths = sorted(glob.glob(os.path.join(src_dir, "*.bmp")))
+    config = EncoderConfig(subsampling_ratio=(4, 2, 0))
+    res = multihost.encode_dataset(paths, out_dir, config)
+    summary = multihost.global_summary(res)
+
+    with open(os.path.join(out_dir, f"result-{idx}.json"), "w") as f:
+        json.dump(
+            {
+                "process_index": idx,
+                "process_count": count,
+                "local_devices": len(jax.local_devices()),
+                "global_devices": len(jax.devices()),
+                "encoded": res.encoded,
+                "skipped": res.skipped,
+                "manifest_path": res.manifest_path,
+                "summary": summary,
+            },
+            f,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
