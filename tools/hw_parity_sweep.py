@@ -67,9 +67,38 @@ def exhaustive_color() -> int:
     return 1 if bad else 0
 
 
+def corpus_sweep() -> int:
+    """Byte-exactness on photographic-statistics content (utils/corpus.py),
+    every ratio x algorithm, on the attached device."""
+    from jpeg_encoder_tpu.utils import corpus
+
+    failures = 0
+    cases = 0
+    for name, rgb in corpus.images(256, 384).items():
+        for ratio in [(4, 4, 4), (4, 2, 2), (4, 2, 0)]:
+            for alg in [DctAlgorithm.REAL_DCT, DctAlgorithm.BIN_DCT]:
+                cfg = EncoderConfig(subsampling_ratio=ratio, dct_algorithm=alg)
+                dev = pipeline.encode_array(rgb, cfg)
+                gold = oracle.encode_oracle(rgb, cfg)
+                same = dev.file_bytes == jfif.assemble(
+                    gold.geom, gold.entropy_bytes
+                )
+                cases += 1
+                if not same:
+                    failures += 1
+                    print(f"MISMATCH: {name} ratio={ratio} alg={alg.value}")
+    print(
+        f"corpus parity sweep on {jax.default_backend()}: "
+        f"{cases - failures}/{cases} byte-identical"
+    )
+    return 1 if failures else 0
+
+
 def main() -> int:
     if "--color" in sys.argv:
         return exhaustive_color()
+    if "--corpus" in sys.argv:
+        return corpus_sweep()
     rng = np.random.default_rng(123)
     # Cycle geometries across cases: MCU-aligned, odd dims (pad + the
     # partial-block chroma-mean quirk), the width%(8h)==1 misalignment,
