@@ -58,6 +58,17 @@ def build_parser() -> argparse.ArgumentParser:
         "differ from the scalar reference in ~1e-5 of values)",
     )
     parser.add_argument(
+        "--devices", type=int, default=0, metavar="N",
+        help="mesh size: shard work over the first N attached devices "
+        "(default: all devices for batch input, single-device otherwise)",
+    )
+    parser.add_argument(
+        "--tile-bands", action="store_true",
+        help="single-image mode: shard the image's MCU-row bands across "
+        "the device mesh (DC predictors chained over ICI), instead of "
+        "encoding it on one device",
+    )
+    parser.add_argument(
         "--timing", action="store_true", help="print per-image timing as JSON"
     )
     parser.add_argument(
@@ -142,7 +153,14 @@ def main(argv: list[str] | None = None) -> int:
             print("Performing Discrete Cosine Transform + Quantization...")
             print("Done!")
             print("Entropy encoding...")
-            result = pipeline.encode_array(rgb, config)
+            if args.tile_bands:
+                from jpeg_encoder_tpu.parallel import mesh as mesh_lib
+                from jpeg_encoder_tpu.parallel import tiled
+
+                mesh = mesh_lib.data_mesh(args.devices or None)
+                result = tiled.encode_tiled(rgb, config, mesh)
+            else:
+                result = pipeline.encode_array(rgb, config)
             print("Done!")
             print("Creating file")
             with open(output_path, "wb") as f:
@@ -194,7 +212,7 @@ def _run_batch(inputs: list[str], args, config: EncoderConfig) -> int:
         print(f"error: {e}", file=sys.stderr)
         return 1
 
-    mesh = mesh_lib.data_mesh()
+    mesh = mesh_lib.data_mesh(args.devices or None)
     for (width, height), paths in groups.items():
         images = bmp.read_batch(paths)
         files = batch_lib.encode_batch(images, config, mesh)

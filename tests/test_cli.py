@@ -75,3 +75,32 @@ def test_batch_glob_encode(tmp_path, rng):
     ) == 0
     for i in range(3):
         assert (out_dir / f"img{i}.jpeg").exists()
+
+
+def test_tile_bands_matches_single_device(tmp_path, rng):
+    """--tile-bands --devices N shards MCU bands over the mesh and must be
+    byte-identical to the plain single-device encode (SURVEY §5 mesh flag)."""
+    rgb = rng.integers(0, 256, size=(64, 48, 3), dtype=np.uint8)
+    path = tmp_path / "big.bmp"
+    bmp.write(path, rgb)
+    plain = tmp_path / "plain.jpeg"
+    tiled = tmp_path / "tiled.jpeg"
+    assert cli.main(["-i", str(path), "-o", str(plain)]) == 0
+    assert cli.main(
+        ["-i", str(path), "-o", str(tiled), "--tile-bands", "--devices", "2"]
+    ) == 0
+    assert tiled.read_bytes() == plain.read_bytes()
+
+
+def test_batch_devices_flag(tmp_path, rng):
+    for i in range(4):
+        bmp.write(
+            tmp_path / f"d{i}.bmp",
+            rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8),
+        )
+    out_dir = tmp_path / "out"
+    assert cli.main(
+        ["-i", str(tmp_path / "d*.bmp"), "-o", str(out_dir), "--devices", "2"]
+    ) == 0
+    for i in range(4):
+        assert (out_dir / f"d{i}.jpeg").exists()

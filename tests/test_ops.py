@@ -18,6 +18,45 @@ def test_color_conversion_matches_oracle_random(rng):
     assert np.array_equal(np.asarray(crd), cre)
 
 
+def test_color_exhaustive_cpu():
+    """Every 2^24 RGB triple vs the oracle on the CPU backend.
+
+    Historical loophole: the multiply-chain formulation let XLA:CPU form
+    FMAs (immune to optimization_barrier), flipping ~2e-4 of triples at
+    rounding ties — the suite passed only because fixed seeds avoided
+    them. The LUT formulation (ops/color.py) is contraction-proof; this
+    pins that, tie triples included, with no sampling.
+    """
+    r, g, b = np.meshgrid(
+        np.arange(256, dtype=np.uint8),
+        np.arange(256, dtype=np.uint8),
+        np.arange(256, dtype=np.uint8),
+        indexing="ij",
+    )
+    allrgb = np.stack([r.ravel(), g.ravel(), b.ravel()], -1).reshape(
+        4096, 4096, 3
+    )
+    got = color.rgb_to_ycbcr(jnp.asarray(allrgb))
+    want = oracle.rgb_to_ycbcr_exact(allrgb)
+    for a, e in zip(got, want):
+        assert np.array_equal(np.asarray(a), e)
+
+
+def test_color_known_tie_triples():
+    """The documented FMA-tie triples convert exactly on this backend."""
+    # (1, 233, 245) hits the y-chain tie 164.99999237 (ops/color.py); the
+    # neighbors cover the adjacent tie band.
+    ties = np.array(
+        [[1, 233, 245], [1, 233, 244], [2, 233, 245], [255, 1, 3]],
+        dtype=np.uint8,
+    ).reshape(1, -1, 3)
+    ye, cbe, cre = oracle.rgb_to_ycbcr_exact(ties)
+    yd, cbd, crd = color.rgb_to_ycbcr(jnp.asarray(ties))
+    assert np.array_equal(np.asarray(yd), ye)
+    assert np.array_equal(np.asarray(cbd), cbe)
+    assert np.array_equal(np.asarray(crd), cre)
+
+
 def test_color_conversion_matches_oracle_exhaustive_channel_extremes():
     """All (r, g) pairs at b in {0, 128, 255}: 196,608 triples, exact."""
     r, g = np.meshgrid(

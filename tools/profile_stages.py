@@ -1,9 +1,11 @@
-"""On-chip stage-by-stage cost map of the fused 1080p 4:2:0 pipeline (dev).
+"""On-chip stage-by-stage cost map of the fused 1080p pipeline (dev tool).
 
 Times nested prefixes of the pipeline (each jitted separately, synced by
 fetching a scalar — see memory/axon notes: block_until_ready lies here) and
 prints the incremental cost of each stage, plus the fused entropy kernel
 alone on precomputed inputs.
+
+    python tools/profile_stages.py [4:2:0|4:2:2|4:4:4] [real-dct|bin-dct]
 """
 import sys
 import time
@@ -18,11 +20,20 @@ import numpy as np
 
 from jpeg_encoder_tpu import pipeline, tables
 from jpeg_encoder_tpu.config import DctAlgorithm, EncoderConfig
+from jpeg_encoder_tpu.config import parse_subsampling_ratio
 from jpeg_encoder_tpu.kernels import entropy_pallas
 from jpeg_encoder_tpu.ops import color, dct, entropy, sample
 
 H, W, BATCH = 1088, 1920, 8
-config = EncoderConfig(subsampling_ratio=(4, 2, 0))
+_args = [a for a in sys.argv[1:] if not a.startswith("-")]
+RATIO = parse_subsampling_ratio(_args[0]) if _args else (4, 2, 0)
+ALG = (
+    DctAlgorithm.BIN_DCT
+    if len(_args) > 1 and _args[1] == "bin-dct"
+    else DctAlgorithm.REAL_DCT
+)
+config = EncoderConfig(subsampling_ratio=RATIO, dct_algorithm=ALG)
+print(f"ratio {RATIO}, {ALG.value}", file=sys.stderr)
 geom = config.geometry(W, H)
 cap = pipeline.default_capacity_bytes(geom, config.capacity_bytes_per_pixel)
 key = jax.random.key(0)
@@ -56,7 +67,7 @@ def front_dct(rgb):
     y, cb, cr = front_planes(rgb)
     return dct.dct_quantize_planes(
         sample.blockify(y), sample.blockify(cb), sample.blockify(cr),
-        DctAlgorithm.REAL_DCT, False, zigzag_out=True)
+        ALG, False, zigzag_out=True)
 
 
 def marshal(y_z, cb_z, cr_z):
@@ -90,7 +101,7 @@ def s3(rgb):
 def s4(rgb):
     def one(im):
         out = pipeline.encode_core(
-            im, geom, DctAlgorithm.REAL_DCT, cap, with_coeffs=False)
+            im, geom, ALG, cap, with_coeffs=False)
         return out["total_bits"]
     return jnp.sum(jax.vmap(one)(rgb))
 
