@@ -53,6 +53,12 @@ def build_parser() -> argparse.ArgumentParser:
         "the reference's de-scaling bug",
     )
     parser.add_argument(
+        "-q", "--quality", type=int, default=None, metavar="1..100",
+        help="scale the quantization tables with the standard libjpeg "
+        "quality formula (50 = the default Annex-K tables; higher = better "
+        "fidelity, bigger files). Omit for reference-parity fixed tables",
+    )
+    parser.add_argument(
         "--fast-dct", action="store_true",
         help="use the MXU matmul RealDCT (fastest; quantized coefficients may "
         "differ from the scalar reference in ~1e-5 of values)",
@@ -117,12 +123,17 @@ def main(argv: list[str] | None = None) -> int:
         print(f"error: {e}", file=sys.stderr)
         return 2
 
-    config = EncoderConfig(
-        subsampling_ratio=ratio,
-        dct_algorithm=DctAlgorithm(args.dct_algorithm),
-        fast_dct=args.fast_dct,
-        bin_dct_descale=args.bin_dct_descale,
-    )
+    try:
+        config = EncoderConfig(
+            subsampling_ratio=ratio,
+            dct_algorithm=DctAlgorithm(args.dct_algorithm),
+            fast_dct=args.fast_dct,
+            bin_dct_descale=args.bin_dct_descale,
+            quality=args.quality,
+        )
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
 
     if len(inputs) > 1:
         return _run_batch(inputs, args, config)

@@ -170,14 +170,32 @@ class EncoderConfig:
     # bound: the pipeline reports the true bit length, detects overflow, and
     # automatically retries with a larger buffer (pipeline.encode_array).
     capacity_bytes_per_pixel: float = 0.5
+    # Quality setting 1..100 scaling the quantization tables with the
+    # standard libjpeg formula (tables.scaled_quant_tables). None (default)
+    # = the reference's fixed Annex-K tables; 50 is numerically identical
+    # to None. Extension beyond the reference (its tables are fixed;
+    # jpeg_theory.md:162 lists quality scaling as unimplemented).
+    quality: int | None = None
     # Check the reference's entropy-range invariants (DC difference category
     # <= 11, AC size <= 10 — panics in entropy_coding.rs:153-155,188-191)
     # and raise host-side before emitting a corrupt scan. Unreachable for
     # valid u8 image input, so off by default (costs one extra reduction).
     validate: bool = False
 
+    def __post_init__(self) -> None:
+        if self.quality is not None and not 1 <= self.quality <= 100:
+            raise ValueError(
+                f"quality must be in 1..100, got {self.quality}"
+            )
+
     def geometry(self, width: int, height: int) -> FrameGeometry:
         return FrameGeometry.create(width, height, self.subsampling_ratio)
+
+    def quant_tables(self):
+        """(luma, chroma) uint8 quantization tables for this config."""
+        from jpeg_encoder_tpu import tables
+
+        return tables.scaled_quant_tables(self.quality)
 
     @property
     def factors(self) -> tuple[int, int]:

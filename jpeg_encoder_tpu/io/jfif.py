@@ -87,14 +87,20 @@ def stuff_bytes(payload: np.ndarray) -> bytes:
     return out.tobytes()
 
 
-def header_bytes(geom: FrameGeometry) -> bytes:
-    """Everything before the entropy-coded scan payload."""
+def header_bytes(geom: FrameGeometry, quality: int | None = None) -> bytes:
+    """Everything before the entropy-coded scan payload.
+
+    `quality` selects the DQT contents (tables.scaled_quant_tables); it must
+    match the tables the coefficients were quantized with. None = the
+    reference's fixed Annex-K tables.
+    """
+    q_luma, q_chroma = tables.scaled_quant_tables(quality)
     return b"".join(
         [
             SOI,
             app0_segment(),
-            dqt_segment(0, tables.Y_QUANT_TABLE),
-            dqt_segment(1, tables.C_QUANT_TABLE),
+            dqt_segment(0, q_luma),
+            dqt_segment(1, q_chroma),
             sof0_segment(geom),
             dht_segment(0, 0, tables.Y_DC_HUFFMAN),
             dht_segment(0, 1, tables.C_DC_HUFFMAN),
@@ -105,8 +111,12 @@ def header_bytes(geom: FrameGeometry) -> bytes:
     )
 
 
-def assemble(geom: FrameGeometry, entropy_payload: np.ndarray | bytes) -> bytes:
+def assemble(
+    geom: FrameGeometry,
+    entropy_payload: np.ndarray | bytes,
+    quality: int | None = None,
+) -> bytes:
     """Full JFIF file bytes from the (unstuffed) entropy payload."""
     if isinstance(entropy_payload, (bytes, bytearray)):
         entropy_payload = np.frombuffer(bytes(entropy_payload), dtype=np.uint8)
-    return header_bytes(geom) + stuff_bytes(entropy_payload) + EOI
+    return header_bytes(geom, quality) + stuff_bytes(entropy_payload) + EOI

@@ -38,14 +38,17 @@ TILE = 512  # blocks per grid step: (512, 64) f32 tiles, ~128 KiB each
 
 
 @functools.cache
-def _realdct_constants(quant_key: str) -> tuple[np.ndarray, ...]:
+def _realdct_constants(
+    quant_key: str, quality: int | None = None
+) -> tuple[np.ndarray, ...]:
     """Per-step factor rows + scale/quant rows, zigzag-permuted columns.
 
     a_steps[k, zz(uv)] = basis[u, x_k] and b_steps[k, zz(uv)] = basis[v, y_k]
     for step k = x_k * 8 + y_k, so the kernel's accumulator is directly in
     zigzag order. scale = (0.25 * alpha_u) * alpha_v, quant in f32.
     """
-    quant = tables.Y_QUANT_TABLE if quant_key == "y" else tables.C_QUANT_TABLE
+    q_luma, q_chroma = tables.scaled_quant_tables(quality)
+    quant = q_luma if quant_key == "y" else q_chroma
     basis = dct_basis_f32()
     zz = tables.ZIGZAG_ORDER
     u_of = (np.arange(64) // 8)[zz]  # output column -> u
@@ -72,7 +75,8 @@ def _realdct_kernel(x_ref, a_ref, b_ref, scale_ref, quant_ref, out_ref):
 
 
 def real_dct_quant_zigzag_pallas(
-    blocks_u8: jnp.ndarray, is_luma: bool, interpret: bool = False
+    blocks_u8: jnp.ndarray, is_luma: bool, interpret: bool = False,
+    quality: int | None = None,
 ) -> jnp.ndarray:
     """(N, 64) uint8 -> (N, 64) int32 quantized coefficients, zigzag order."""
     n = blocks_u8.shape[0]
@@ -81,7 +85,8 @@ def real_dct_quant_zigzag_pallas(
         blocks_u8.astype(jnp.int32)
     )
     a, b, scale, quant = (
-        jnp.asarray(c) for c in _realdct_constants("y" if is_luma else "c")
+        jnp.asarray(c)
+        for c in _realdct_constants("y" if is_luma else "c", quality)
     )
     out = pl.pallas_call(
         _realdct_kernel,
@@ -148,8 +153,11 @@ def _lift_groups(v: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.cache
-def _bindct_constants(quant_key: str) -> tuple[np.ndarray, np.ndarray]:
-    quant = tables.Y_QUANT_TABLE if quant_key == "y" else tables.C_QUANT_TABLE
+def _bindct_constants(
+    quant_key: str, quality: int | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    q_luma, q_chroma = tables.scaled_quant_tables(quality)
+    quant = q_luma if quant_key == "y" else q_chroma
     # Quant divide happens in natural order; zigzag applies afterwards, so
     # fold both into one gather permutation + pre-permuted quant row.
     zz = tables.ZIGZAG_ORDER
@@ -179,7 +187,8 @@ def _bindct_kernel(x_ref, quant_ref, out_ref):
 
 
 def bin_dct_quant_zigzag_pallas(
-    blocks_u8: jnp.ndarray, is_luma: bool, interpret: bool = False
+    blocks_u8: jnp.ndarray, is_luma: bool, interpret: bool = False,
+    quality: int | None = None,
 ) -> jnp.ndarray:
     """(N, 64) uint8 -> (N, 64) int32 quantized binDCT coeffs, zigzag order."""
     n = blocks_u8.shape[0]
@@ -187,7 +196,7 @@ def bin_dct_quant_zigzag_pallas(
     x = jnp.zeros((padded_n, 64), jnp.int32).at[:n].set(
         blocks_u8.astype(jnp.int32)
     )
-    quant_zz, _ = _bindct_constants("y" if is_luma else "c")
+    quant_zz, _ = _bindct_constants("y" if is_luma else "c", quality)
     out = pl.pallas_call(
         _bindct_kernel,
         grid=(padded_n // TILE,),

@@ -386,9 +386,10 @@ def encode_oracle(rgb: np.ndarray, config: EncoderConfig) -> OracleResult:
     y, cb, cr = build_padded_planes(rgb, geom)
     cb = subsample_plane(cb, geom)
     cr = subsample_plane(cr, geom)
-    y_q = dct_and_quantize(y, tables.Y_QUANT_TABLE, config.dct_algorithm)
-    cb_q = dct_and_quantize(cb, tables.C_QUANT_TABLE, config.dct_algorithm)
-    cr_q = dct_and_quantize(cr, tables.C_QUANT_TABLE, config.dct_algorithm)
+    q_luma, q_chroma = tables.scaled_quant_tables(config.quality)
+    y_q = dct_and_quantize(y, q_luma, config.dct_algorithm)
+    cb_q = dct_and_quantize(cb, q_chroma, config.dct_algorithm)
+    cr_q = dct_and_quantize(cr, q_chroma, config.dct_algorithm)
     payload, bit_length = entropy_encode(
         y_q.reshape(-1, 8, 8), cb_q.reshape(-1, 8, 8), cr_q.reshape(-1, 8, 8), geom
     )

@@ -31,13 +31,14 @@ def compiled_batch_encoder(
     capacity_bytes: int,
     fast_dct: bool = False,
     bin_dct_descale: bool = False,
+    quality: int | None = None,
 ):
     """Jitted (B, H, W, 3) -> ((B, capacity) payloads, (B,) bit lengths)."""
 
     def per_image(rgb):
         out = pipeline.encode_core(
             rgb, geom, algorithm, capacity_bytes, fast_dct,
-            bin_dct_descale=bin_dct_descale,
+            bin_dct_descale=bin_dct_descale, quality=quality,
         )
         return out["payload"], out["total_bits"]
 
@@ -83,14 +84,14 @@ def encode_batch(
     device_images = jnp.asarray(images)
     encoder = compiled_batch_encoder(
         mesh, geom, config.dct_algorithm, capacity, config.fast_dct,
-        config.bin_dct_descale,
+        config.bin_dct_descale, config.quality,
     )
     payloads, bit_lengths = encoder(device_images)
     bit_lengths = np.asarray(bit_lengths)
     payloads = np.asarray(payloads)
 
     files = []
-    header = jfif.header_bytes(geom)
+    header = jfif.header_bytes(geom, config.quality)
     for i in range(batch):
         bits = int(bit_lengths[i])
         if bits > 8 * capacity:

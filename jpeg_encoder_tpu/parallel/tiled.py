@@ -73,7 +73,7 @@ def _live_mcu_rows(geom: FrameGeometry, n_dev: int, idx: int) -> int:
 
 def _encode_band(rgb_band, band_geom, algorithm, capacity, fast_dct,
                  bin_dct_descale, init_dc, live_entries=None,
-                 packer="xla", live_px_rows=None):
+                 packer="xla", live_px_rows=None, quality=None):
     """One band's full compute: planes -> coefficients -> packed bits.
 
     Shared between the shard_map program and the single-band overflow
@@ -101,16 +101,17 @@ def _encode_band(rgb_band, band_geom, algorithm, capacity, fast_dct,
     cb = sample.subsample_plane(sample.pad_plane(cb, band_geom), band_geom)
     cr = sample.subsample_plane(sample.pad_plane(cr, band_geom), band_geom)
 
+    q_luma, q_chroma = tables.scaled_quant_tables(quality)
     y_q = dct.dct_quantize(
-        sample.blockify(y), tables.Y_QUANT_TABLE, algorithm, fast_dct,
+        sample.blockify(y), q_luma, algorithm, fast_dct,
         bin_dct_descale=bin_dct_descale,
     )
     cb_q = dct.dct_quantize(
-        sample.blockify(cb), tables.C_QUANT_TABLE, algorithm, fast_dct,
+        sample.blockify(cb), q_chroma, algorithm, fast_dct,
         bin_dct_descale=bin_dct_descale,
     )
     cr_q = dct.dct_quantize(
-        sample.blockify(cr), tables.C_QUANT_TABLE, algorithm, fast_dct,
+        sample.blockify(cr), q_chroma, algorithm, fast_dct,
         bin_dct_descale=bin_dct_descale,
     )
     if callable(init_dc):
@@ -130,6 +131,7 @@ def compiled_tiled_encoder(
     capacity: int,
     fast_dct: bool = False,
     bin_dct_descale: bool = False,
+    quality: int | None = None,
 ):
     """Jitted (n_dev * band_h, W, 3) -> ((n_dev, cap) payloads,
     (n_dev,) bit lengths, (n_dev, 3) per-band initial DC predictors)."""
@@ -169,6 +171,7 @@ def compiled_tiled_encoder(
         payload, bits, prev = _encode_band(
             rgb_band, band_geom, algorithm, capacity, fast_dct,
             bin_dct_descale, chain, live_entries, packer, live_px_rows,
+            quality,
         )
         return payload[None], bits[None], prev[None]
 
@@ -191,6 +194,7 @@ def compiled_band_encoder(
     capacity: int,
     fast_dct: bool = False,
     bin_dct_descale: bool = False,
+    quality: int | None = None,
 ):
     """Jitted single-band re-encode for overflow retry: (band_h, W, 3) uint8
     + (3,) int32 init_dc -> ((capacity,) payload, bits). Runs the exact
@@ -203,7 +207,7 @@ def compiled_band_encoder(
             rgb_band, band_geom, algorithm, capacity, fast_dct,
             bin_dct_descale, init_dc,
             packer=pipeline.default_packer(capacity),
-            live_px_rows=live_px_rows,
+            live_px_rows=live_px_rows, quality=quality,
         )
         return payload, bits
 
@@ -246,7 +250,7 @@ def encode_tiled(
     device_rgb = jnp.asarray(padded)
     encoder = compiled_tiled_encoder(
         mesh, geom, config.dct_algorithm, capacity, config.fast_dct,
-        config.bin_dct_descale,
+        config.bin_dct_descale, config.quality,
     )
     payloads, bit_lengths, init_dcs = encoder(device_rgb)
     bit_lengths = np.asarray(bit_lengths)
@@ -268,7 +272,7 @@ def encode_tiled(
 
     spliced, total_bits = splice_bitstreams(chunks)
     return pipeline.EncodeResult(
-        file_bytes=jfif.assemble(geom, spliced),
+        file_bytes=jfif.assemble(geom, spliced, quality=config.quality),
         entropy_payload=spliced,
         bit_length=total_bits,
         geom=geom,
@@ -305,7 +309,7 @@ def _retry_band(
         capacity = pipeline.next_capacity_bytes(live_geom, capacity)
         payload, bits = compiled_band_encoder(
             live_geom, config.dct_algorithm, capacity, config.fast_dct,
-            config.bin_dct_descale,
+            config.bin_dct_descale, config.quality,
         )(band_rgb, init, live_px)
         bits = int(bits)
         if bits <= 8 * capacity:

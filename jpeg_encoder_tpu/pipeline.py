@@ -96,6 +96,7 @@ def encode_core(
     validate: bool = False,
     with_coeffs: bool = True,
     bin_dct_descale: bool = False,
+    quality: int | None = None,
 ) -> dict[str, jnp.ndarray]:
     """(H, W, 3) uint8 -> packed entropy payload + quantized coefficients.
 
@@ -123,9 +124,9 @@ def encode_core(
             kernel = dct_pallas.real_dct_quant_zigzag_pallas
         else:
             kernel = dct_pallas.bin_dct_quant_zigzag_pallas
-        y_z = kernel(sample.blockify(y), True, interpret)
-        cb_z = kernel(sample.blockify(cb), False, interpret)
-        cr_z = kernel(sample.blockify(cr), False, interpret)
+        y_z = kernel(sample.blockify(y), True, interpret, quality=quality)
+        cb_z = kernel(sample.blockify(cb), False, interpret, quality=quality)
+        cr_z = kernel(sample.blockify(cr), False, interpret, quality=quality)
         payload, total_bits = entropy.encode_scan(
             y_z, cb_z, cr_z, geom, capacity_bytes, coeffs_zigzagged=True,
             packer=packer,
@@ -139,7 +140,7 @@ def encode_core(
         y_z, cb_z, cr_z = dct.dct_quantize_planes(
             sample.blockify(y), sample.blockify(cb), sample.blockify(cr),
             algorithm, fast_dct, zigzag_out=True,
-            bin_dct_descale=bin_dct_descale,
+            bin_dct_descale=bin_dct_descale, quality=quality,
         )
         payload, total_bits = entropy.encode_scan(
             y_z, cb_z, cr_z, geom, capacity_bytes, coeffs_zigzagged=True,
@@ -170,13 +171,14 @@ def compiled_encoder(
     validate: bool = False,
     with_coeffs: bool = False,
     bin_dct_descale: bool = False,
+    quality: int | None = None,
 ):
     """Jitted encode_core for one static configuration (cached)."""
 
     def fn(rgb: jnp.ndarray) -> dict[str, jnp.ndarray]:
         return encode_core(
             rgb, geom, algorithm, capacity_bytes, fast_dct, use_pallas,
-            validate, with_coeffs, bin_dct_descale,
+            validate, with_coeffs, bin_dct_descale, quality,
         )
 
     return jax.jit(fn)
@@ -223,7 +225,7 @@ def encode_array(
         out = compiled_encoder(
             geom, config.dct_algorithm, capacity, config.fast_dct,
             config.use_pallas, config.validate, return_coeffs,
-            config.bin_dct_descale,
+            config.bin_dct_descale, config.quality,
         )(device_rgb)
         if config.validate:
             validate_scan_ranges(
@@ -246,7 +248,7 @@ def encode_array(
     num_bytes = (bit_length + 7) // 8
     payload = np.asarray(out["payload"])[:num_bytes].tobytes()
     result = EncodeResult(
-        file_bytes=jfif.assemble(geom, payload),
+        file_bytes=jfif.assemble(geom, payload, quality=config.quality),
         entropy_payload=payload,
         bit_length=bit_length,
         geom=geom,

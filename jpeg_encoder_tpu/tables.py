@@ -51,6 +51,36 @@ C_QUANT_TABLE = np.array(
     dtype=np.uint8,
 )
 
+@functools.cache
+def scaled_quant_tables(
+    quality: int | None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(luma, chroma) quantization tables for a quality setting.
+
+    quality=None (the default everywhere) returns the Annex-K constants
+    unchanged — the reference has no quality flag (its tables are fixed;
+    jpeg_theory.md:162 notes scaling as an unimplemented consideration), so
+    None is the reference-parity mode. An integer 1..100 applies the
+    standard libjpeg scaling: scale% = 5000/q below 50 else 200 - 2q, each
+    entry rounded as (base * scale + 50) / 100 and clamped to 1..255 (the
+    baseline 8-bit DQT range). quality=50 reproduces the base tables
+    exactly, so `-q 50` is byte-identical to the default.
+    """
+    if quality is None:
+        return Y_QUANT_TABLE, C_QUANT_TABLE
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality must be in 1..100, got {quality}")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+
+    def scaled(base: np.ndarray) -> np.ndarray:
+        q = (base.astype(np.int64) * scale + 50) // 100
+        out = np.clip(q, 1, 255).astype(np.uint8)
+        out.setflags(write=False)  # cached — guard against aliasing mutation
+        return out
+
+    return scaled(Y_QUANT_TABLE), scaled(C_QUANT_TABLE)
+
+
 # --------------------------------------------------------------------------
 # Zigzag scan order. ZIGZAG_ORDER[k] = natural (row-major) index of the k-th
 # zigzag element. Matches huffman_tables.rs:97-101 (standard scan).
