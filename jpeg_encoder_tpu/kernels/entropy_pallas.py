@@ -130,7 +130,7 @@ def _bit_length_f32(av):
 
 
 def _entropy_kernel(
-    z_ref, dcdiff_ref, lut_ref,
+    z_ref, dcdiff_ref, lut_ref, live_ref,
     out_ref, bits_ref,
     c0s, c1s, c2s, rloc, carry, acc2,
     *, tile, num_entries, blocks_per_mcu, hv, num_words, lut_scalars,
@@ -152,7 +152,12 @@ def _entropy_kernel(
     lane64 = lane & 63                   # zigzag position within the entry
     row2 = _lane_iota((t2, 1), 0)
     entry_idx = pid * tile + 2 * row2 + half.astype(jnp.int32)
-    valid = entry_idx < num_entries
+    # Live-entry mask: entries at index >= live emit nothing. Covers both
+    # the TILE padding suffix (live == num_entries) and uneven MCU-band
+    # sharding, where the trailing band's dead-row entries carry arbitrary
+    # coefficients (parallel/tiled.py). Dead entries are always a scan
+    # suffix, so the carry/total-bits accounting needs no other change.
+    valid = entry_idx < jnp.minimum(num_entries, live_ref[0, 0])
     is_luma = (entry_idx % blocks_per_mcu) < hv      # (T2, 128) bool
 
     # ---- run-length state per half ----
@@ -416,11 +421,15 @@ def encode_entropy_fused(
     capacity_bytes: int,
     interpret: bool = False,
     n_chains_override: int | None = None,
+    live_entries: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fused device entropy coding: returns (u32 words flat bytes, total_bits).
 
     n_chains_override forces the accumulator-chain count (tests use it to
     exercise the single-chain assembly branch at small capacities).
+    live_entries (traced scalar, default: all) masks the scan suffix at
+    index >= live_entries to emit zero bits — uneven MCU-band sharding's
+    dead-row entries (parallel/tiled.py) ride the fused path with it.
     """
     assert capacity_bytes % 4 == 0
     num_entries = z.shape[0]
@@ -445,6 +454,9 @@ def encode_entropy_fused(
     # same HBM bytes, so this reshape is free.
     z2 = z.reshape(padded_e // 2, 128)
     d2 = dc_diff.astype(jnp.int32).reshape(padded_e // 2, 2)
+    if live_entries is None:
+        live_entries = num_entries
+    live2 = jnp.asarray(live_entries, jnp.int32).reshape(1, 1)
 
     kernel = functools.partial(
         _entropy_kernel,
@@ -464,6 +476,7 @@ def encode_entropy_fused(
             pl.BlockSpec((t2, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((t2, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec((rows, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -490,5 +503,5 @@ def encode_entropy_fused(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(z2, d2, jnp.asarray(_lut_rows()))
+    )(z2, d2, jnp.asarray(_lut_rows()), live2)
     return out.reshape(-1)[:num_words], bits[0, 0]

@@ -203,7 +203,7 @@ def encode_scan(
         Used by uneven MCU-band sharding (parallel/tiled.py) where the
         trailing band(s) carry padding rows: dead entries are always a
         suffix of the scan, so the live prefix's bits and total are
-        unaffected. Not supported by the fused packer.
+        unaffected. Supported by every packer.
 
     Returns:
       (bytes_u8 of shape (capacity_bytes,), total_bits scalar int32). The
@@ -223,15 +223,12 @@ def encode_scan(
     if packer in ("fused", "fused_interpret"):
         # Everything below (symbolization, LUTs, packing) happens inside
         # the fused Pallas kernel; only marshalling stays in XLA.
-        if live_entries is not None:
-            raise NotImplementedError(
-                "live_entries masking requires the xla/pallas packers"
-            )
         from jpeg_encoder_tpu.kernels import entropy_pallas
 
         words, total_bits = entropy_pallas.encode_entropy_fused(
             z, entry_diff, geom, capacity_bytes,
             interpret=(packer == "fused_interpret"),
+            live_entries=live_entries,
         )
         return _words_to_bytes(words), total_bits
     z = z.astype(jnp.int32)

@@ -141,10 +141,7 @@ def compiled_tiled_encoder(
     band_geom = _band_geometry(geom, band_h)
     uneven = geom.mcu_rows % n_dev != 0
     entries_per_mcu_row = geom.mcu_cols * geom.blocks_per_mcu
-    # The fused entropy kernel doesn't take a live-entry mask, so uneven
-    # splits drop to the XLA packer (still byte-identical, just slower on
-    # chip; even splits — the common large-image case — stay fused).
-    packer = "xla" if uneven else pipeline.default_packer(capacity)
+    packer = pipeline.default_packer(capacity)
 
     def shard_fn(rgb_band):  # (band_h, W, 3) uint8
         idx = jax.lax.axis_index(DATA_AXIS)

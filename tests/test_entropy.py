@@ -286,3 +286,46 @@ def test_fused_kernel_single_chain_branch(rng):
         n_chains_override=1)
     assert int(b1) == int(b2)
     assert np.array_equal(np.asarray(w1), np.asarray(w2))
+
+
+@pytest.mark.parametrize("ratio", [(4, 2, 0), (4, 4, 4)])
+def test_fused_kernel_live_entries_masking(ratio, rng):
+    """live_entries (uneven MCU-band sharding) must mask the dead scan
+    suffix in the fused kernel exactly like the XLA packer: identical
+    payload/bits, and insensitive to the garbage in the dead entries."""
+    import jax.numpy as jnp
+
+    from jpeg_encoder_tpu.config import EncoderConfig
+
+    geom = EncoderConfig(subsampling_ratio=ratio).geometry(48, 48)
+    y = rng.integers(-300, 300, (geom.num_luma_blocks, 64)).astype(np.int16)
+    cb = rng.integers(-80, 80, (geom.num_chroma_blocks, 64)).astype(np.int16)
+    cr = rng.integers(-80, 80, (geom.num_chroma_blocks, 64)).astype(np.int16)
+    for a in (y, cb, cr):
+        a[:, 8:] = np.where(rng.random(a[:, 8:].shape) < 0.85, 0, a[:, 8:])
+    cap = 1 << 14
+    # One full MCU row dead at the end (entries are MCU-major, so the dead
+    # suffix is exactly the last row's entries).
+    live = jnp.asarray(
+        (geom.mcu_rows - 1) * geom.mcu_cols * geom.blocks_per_mcu, jnp.int32
+    )
+    args = (jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr), geom, cap)
+    p_xla, b_xla = entropy.encode_scan(*args, packer="xla", live_entries=live)
+    p_fused, b_fused = entropy.encode_scan(
+        *args, packer="fused_interpret", live_entries=live
+    )
+    assert int(b_xla) == int(b_fused)
+    assert np.array_equal(np.asarray(p_xla), np.asarray(p_fused))
+
+    # Different garbage in the dead suffix must not change a single byte.
+    y2, cb2, cr2 = y.copy(), cb.copy(), cr.copy()
+    last_mcu_luma = geom.h_factor * geom.v_factor * geom.mcu_cols
+    y2[-last_mcu_luma:] = rng.integers(-999, 999, (last_mcu_luma, 64))
+    cb2[-geom.mcu_cols:] = rng.integers(-999, 999, (geom.mcu_cols, 64))
+    cr2[-geom.mcu_cols:] = rng.integers(-999, 999, (geom.mcu_cols, 64))
+    p3, b3 = entropy.encode_scan(
+        jnp.asarray(y2), jnp.asarray(cb2), jnp.asarray(cr2), geom, cap,
+        packer="fused_interpret", live_entries=live,
+    )
+    assert int(b3) == int(b_fused)
+    assert np.array_equal(np.asarray(p3), np.asarray(p_fused))
