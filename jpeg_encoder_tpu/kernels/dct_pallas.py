@@ -108,6 +108,104 @@ def real_dct_quant_zigzag_pallas(
 
 
 # --------------------------------------------------------------------------
+# Transposed-chain RealDCT (candidate hot path, measured on hardware).
+#
+# The (N, 64) chain pays a LANE-extract broadcast per step
+# (shifted[:, k:k+1]): a cross-lane shuffle, the dominant per-step cost of
+# the ordered chain (see the perf journal's ablations). Transposed —
+# coefficients in SUBLANES, blocks in LANES — step k's input is a SUBLANE
+# slice xt[k:k+1, :] (native sublane broadcast) and the per-step basis
+# constants become (64, 1) columns via the verified (1, 64) -> (64, 1)
+# reshape idiom. Arithmetic per lane is identical to the reference
+# association ((px * cos_u) * cos_v), so outputs stay bit-exact.
+#
+# Two forms, same chain body:
+#   A (`transposed="kernel"`): (N, 64) in/out; both transposes happen
+#     in-VMEM inside the kernel (needs Mosaic transpose support).
+#   B (`transposed="xla"`): the kernel consumes/produces (64, N); XLA
+#     transposes outside (isolates the chain speedup from transpose cost).
+# --------------------------------------------------------------------------
+
+def _realdct_chain_t(xt, a_ref, b_ref, scale_ref, quant_ref):
+    """The 64-step ordered chain on a (64, T) transposed tile."""
+    acc = jnp.zeros_like(xt)
+    for k in range(64):
+        a_col = a_ref[k : k + 1, :].reshape(64, 1)
+        b_col = b_ref[k : k + 1, :].reshape(64, 1)
+        acc = acc + (xt[k : k + 1, :] * a_col) * b_col
+    s_col = scale_ref[0:1, :].reshape(64, 1)
+    q_col = quant_ref[0:1, :].reshape(64, 1)
+    return jnp.trunc((s_col * acc) / q_col).astype(jnp.int32)
+
+
+def _realdct_t_kernel(x_ref, a_ref, b_ref, scale_ref, quant_ref, out_ref):
+    xt = jnp.transpose(x_ref[:].astype(jnp.float32) - 128.0)  # (64, T)
+    out_ref[:] = jnp.transpose(
+        _realdct_chain_t(xt, a_ref, b_ref, scale_ref, quant_ref)
+    )
+
+
+def _realdct_tpre_kernel(x_ref, a_ref, b_ref, scale_ref, quant_ref, out_ref):
+    xt = x_ref[:].astype(jnp.float32) - 128.0  # already (64, T)
+    out_ref[:] = _realdct_chain_t(xt, a_ref, b_ref, scale_ref, quant_ref)
+
+
+def real_dct_quant_zigzag_pallas_t(
+    blocks_u8: jnp.ndarray, is_luma: bool, interpret: bool = False,
+    quality: int | None = None, transposed: str = "kernel",
+) -> jnp.ndarray:
+    """(N, 64) uint8 -> (N, 64) int32 zigzag coeffs via the transposed chain."""
+    n = blocks_u8.shape[0]
+    padded_n = -(-n // TILE) * TILE
+    x = jnp.zeros((padded_n, 64), jnp.int32).at[:n].set(
+        blocks_u8.astype(jnp.int32)
+    )
+    a, b, scale, quant = (
+        jnp.asarray(c)
+        for c in _realdct_constants("y" if is_luma else "c", quality)
+    )
+    consts_specs = [
+        pl.BlockSpec((64, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((64, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    if transposed == "kernel":
+        out = pl.pallas_call(
+            _realdct_t_kernel,
+            grid=(padded_n // TILE,),
+            in_specs=[
+                pl.BlockSpec(
+                    (TILE, 64), lambda i: (i, 0), memory_space=pltpu.VMEM
+                ),
+                *consts_specs,
+            ],
+            out_specs=pl.BlockSpec(
+                (TILE, 64), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((padded_n, 64), jnp.int32),
+            interpret=interpret,
+        )(x, a, b, scale, quant)
+        return out[:n]
+    assert transposed == "xla"
+    xt = x.T  # (64, padded_n)
+    out_t = pl.pallas_call(
+        _realdct_tpre_kernel,
+        grid=(padded_n // TILE,),
+        in_specs=[
+            pl.BlockSpec((64, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            *consts_specs,
+        ],
+        out_specs=pl.BlockSpec(
+            (64, TILE), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((64, padded_n), jnp.int32),
+        interpret=interpret,
+    )(xt, a, b, scale, quant)
+    return out_t.T[:n]
+
+
+# --------------------------------------------------------------------------
 # binDCT kernel
 # --------------------------------------------------------------------------
 

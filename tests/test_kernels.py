@@ -64,3 +64,22 @@ def test_pipeline_use_pallas_returns_natural_order_coeffs(rng):
     _, got = pipeline.encode_array(rgb, pal, return_coeffs=True)
     for w, g in zip(want, got):
         assert np.array_equal(np.asarray(w), np.asarray(g))
+
+
+@pytest.mark.parametrize("transposed", ["kernel", "xla"])
+def test_transposed_chain_dct_matches_reference_kernel(transposed, rng):
+    """Both transposed-chain forms must be bit-identical to the (N, 64)
+    Pallas RealDCT (itself oracle-verified): same per-lane arithmetic in
+    the reference association order, only the layout differs."""
+    import jax.numpy as jnp
+
+    blocks = rng.integers(0, 256, (700, 64), dtype=np.uint8)
+    for is_luma in (True, False):
+        want = dct_pallas.real_dct_quant_zigzag_pallas(
+            jnp.asarray(blocks), is_luma, interpret=True
+        )
+        got = dct_pallas.real_dct_quant_zigzag_pallas_t(
+            jnp.asarray(blocks), is_luma, interpret=True,
+            transposed=transposed,
+        )
+        assert np.array_equal(np.asarray(want), np.asarray(got))

@@ -1,0 +1,71 @@
+"""Experiment: transposed-chain Pallas RealDCT vs the shipping paths (dev).
+
+The (N, 64) ordered chain pays a cross-lane extract broadcast per step;
+the transposed (64, T) chain replaces it with a native sublane broadcast
+(see kernels/dct_pallas.py `_realdct_chain_t`). Round 1's XLA-level
+transposed experiment (exp_dct_transposed.py) lost to HBM transposes;
+these variants confine the transposes to VMEM (A) or isolate the chain
+cost with XLA transposes left outside (B, an upper-bound probe).
+
+Run on the chip: python tools/exp_dct_chain_t.py
+"""
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+import numpy as np
+
+from jpeg_encoder_tpu import tables
+from jpeg_encoder_tpu.kernels import dct_pallas
+from jpeg_encoder_tpu.ops import dct
+
+N = 8 * (32640 + 2 * 8160)  # one 1080p 4:2:0 batch-8's worth of blocks
+rng = np.random.default_rng(0)
+blocks = jnp.asarray(rng.integers(0, 256, (N, 64), np.uint8))
+qt = tables.Y_QUANT_TABLE
+
+f_ops = jax.jit(lambda b: dct.real_dct_quant_ordered(b, qt, zigzag_out=True))
+f_pl = jax.jit(
+    lambda b: dct_pallas.real_dct_quant_zigzag_pallas(b, True)
+)
+f_tk = jax.jit(
+    lambda b: dct_pallas.real_dct_quant_zigzag_pallas_t(
+        b, True, transposed="kernel"
+    )
+)
+f_tx = jax.jit(
+    lambda b: dct_pallas.real_dct_quant_zigzag_pallas_t(
+        b, True, transposed="xla"
+    )
+)
+
+
+def timeit(name, fn, iters=60):
+    try:
+        out = fn(blocks)
+        _ = np.asarray(out[0, 0])  # sync (block_until_ready lies here)
+    except Exception as e:  # Mosaic lowering may reject a variant
+        print(f"{name:24s} FAILED: {type(e).__name__}: {str(e)[:140]}")
+        return None
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(blocks)
+    _ = np.asarray(out[0, 0])
+    dt = (time.perf_counter() - t0) / iters
+    print(f"{name:24s} {dt*1e3:8.2f} ms")
+    return out
+
+
+o_ops = timeit("ops ordered (N,64)", f_ops)
+o_pl = timeit("pallas (N,64)", f_pl)
+o_tk = timeit("pallas transposed A", f_tk)
+o_tx = timeit("pallas pre-T B", f_tx)
+for name, o in (("pallas", o_pl), ("transposed A", o_tk), ("pre-T B", o_tx)):
+    if o is not None and o_ops is not None:
+        eq = bool(jnp.all(o_ops.astype(jnp.int32) == o.astype(jnp.int32)))
+        print(f"{name} bit-equal vs ops: {eq}")
