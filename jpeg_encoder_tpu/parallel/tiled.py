@@ -132,9 +132,15 @@ def compiled_tiled_encoder(
     fast_dct: bool = False,
     bin_dct_descale: bool = False,
     quality: int | None = None,
+    replicate_out: bool = False,
 ):
     """Jitted (n_dev * band_h, W, 3) -> ((n_dev, cap) payloads,
-    (n_dev,) bit lengths, (n_dev, 3) per-band initial DC predictors)."""
+    (n_dev,) bit lengths, (n_dev, 3) per-band initial DC predictors).
+
+    replicate_out=True makes XLA all-gather the outputs onto every device
+    (ICI within a host, DCN across hosts) so each PROCESS of a multi-host
+    mesh holds the full payload set for host-side splicing — the
+    device-side "collective bitstream assembly" of BASELINE config 5."""
     n_dev = mesh.devices.size
     band_rows = _band_rows(geom, n_dev)
     band_h = band_rows * 8 * geom.v_factor
@@ -181,6 +187,9 @@ def compiled_tiled_encoder(
         # shard-local, so the varying-mesh-axes check adds nothing.
         check_vma=False,
     )
+    if replicate_out:
+        rep = jax.sharding.NamedSharding(mesh, P())
+        return jax.jit(sharded, out_shardings=(rep, rep, rep))
     return jax.jit(sharded)
 
 
@@ -244,10 +253,23 @@ def encode_tiled(
     capacity = pipeline.default_capacity_bytes(
         band_geom, config.capacity_bytes_per_pixel
     )
-    device_rgb = jnp.asarray(padded)
+    # A mesh spanning several processes (multi-host: one huge image across
+    # hosts) needs the global input assembled from per-process shards and
+    # the outputs replicated back to every process; in-process meshes keep
+    # the cheaper local paths.
+    multi = any(
+        d.process_index != jax.process_index() for d in mesh.devices.flat
+    )
+    if multi:
+        in_sharding = jax.sharding.NamedSharding(mesh, P(DATA_AXIS, None, None))
+        device_rgb = jax.make_array_from_callback(
+            padded.shape, in_sharding, lambda idx: padded[idx]
+        )
+    else:
+        device_rgb = jnp.asarray(padded)
     encoder = compiled_tiled_encoder(
         mesh, geom, config.dct_algorithm, capacity, config.fast_dct,
-        config.bin_dct_descale, config.quality,
+        config.bin_dct_descale, config.quality, replicate_out=multi,
     )
     payloads, bit_lengths, init_dcs = encoder(device_rgb)
     bit_lengths = np.asarray(bit_lengths)

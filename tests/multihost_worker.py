@@ -50,6 +50,26 @@ def main() -> int:
     res = multihost.encode_dataset(paths, out_dir, config)
     summary = multihost.global_summary(res)
 
+    # Phase 2: ONE image's MCU bands sharded across the GLOBAL mesh (both
+    # processes' devices): ppermute DC chaining and the replicated-output
+    # payload gather cross the process boundary (DCN in production, gloo
+    # here). 288 rows = 18 MCU rows over 4 devices: an UNEVEN split (5 per
+    # band, last band partially dead), exercising live-entry masking too.
+    import numpy as np
+
+    from jpeg_encoder_tpu import pipeline
+    from jpeg_encoder_tpu.parallel import mesh as mesh_lib
+    from jpeg_encoder_tpu.parallel import tiled
+
+    rng = np.random.default_rng(123)
+    big = rng.integers(0, 256, size=(288, 32, 3), dtype=np.uint8)
+    global_mesh = mesh_lib.data_mesh(devices=jax.devices())
+    tiled_result = tiled.encode_tiled(big, config, global_mesh)
+    local_single = pipeline.encode_array(big, config)
+    assert tiled_result.file_bytes == local_single.file_bytes, (
+        "cross-host tiled encode diverged from the local single encode"
+    )
+
     with open(os.path.join(out_dir, f"result-{idx}.json"), "w") as f:
         json.dump(
             {
@@ -61,6 +81,8 @@ def main() -> int:
                 "skipped": res.skipped,
                 "manifest_path": res.manifest_path,
                 "summary": summary,
+                "tiled_bytes": len(tiled_result.file_bytes),
+                "tiled_bits": int(tiled_result.bit_length),
             },
             f,
         )

@@ -98,3 +98,15 @@ def test_two_process_encode_dataset(tmp_path, rng):
     for name, rgb in images.items():
         got = (out / f"{name}.jpeg").read_bytes()
         assert got == pipeline.encode_array(rgb, config).file_bytes, name
+
+    # Phase 2 (in the workers): one image's MCU bands sharded over the
+    # GLOBAL 4-device mesh spanning both processes — each worker asserted
+    # byte-identity against its local single-device encode; here we check
+    # both processes agree with the in-suite encode of the same seed.
+    big = np.random.default_rng(123).integers(
+        0, 256, size=(288, 32, 3), dtype=np.uint8
+    )
+    want = pipeline.encode_array(big, config)
+    for i in range(2):
+        assert results[i]["tiled_bytes"] == len(want.file_bytes)
+        assert results[i]["tiled_bits"] == int(want.bit_length)
