@@ -205,6 +205,72 @@ def real_dct_quant_zigzag_pallas_t(
     return out_t.T[:n]
 
 
+def _realdct_t_planes_kernel(
+    x_ref, a_ref, b_ref, scale_ref, qy_ref, qc_ref, out_ref, *, tile, ny
+):
+    """Transposed chain over the 3-plane concat: per-LANE quant select.
+
+    Blocks are lanes here, so the luma/chroma quantization split (the only
+    per-plane difference — see ops/dct.dct_quantize_planes) is a lane mask
+    applied between two (64, 1) quant columns."""
+    pid = pl.program_id(0)
+    xt = jnp.transpose(x_ref[:].astype(jnp.float32) - 128.0)  # (64, T)
+    acc = jnp.zeros_like(xt)
+    for k in range(64):
+        a_col = a_ref[k : k + 1, :].reshape(64, 1)
+        b_col = b_ref[k : k + 1, :].reshape(64, 1)
+        acc = acc + (xt[k : k + 1, :] * a_col) * b_col
+    s_col = scale_ref[0:1, :].reshape(64, 1)
+    is_luma = (
+        pid * tile + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+    ) < ny
+    q = jnp.where(
+        is_luma, qy_ref[0:1, :].reshape(64, 1), qc_ref[0:1, :].reshape(64, 1)
+    )
+    out_ref[:] = jnp.transpose(
+        jnp.trunc((s_col * acc) / q).astype(jnp.int16)
+    )
+
+
+def real_dct_quant_planes_zigzag_pallas_t(
+    y_blocks: jnp.ndarray,
+    cb_blocks: jnp.ndarray,
+    cr_blocks: jnp.ndarray,
+    interpret: bool = False,
+    quality: int | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """All three planes through ONE transposed-chain kernel (the candidate
+    replacement for ops/dct.dct_quantize_planes on the RealDCT default
+    path). (N, 64) uint8 x3 -> (N, 64) int16 zigzag coefficients x3."""
+    ny, nc = y_blocks.shape[0], cb_blocks.shape[0]
+    allb = jnp.concatenate([y_blocks, cb_blocks, cr_blocks], axis=0)
+    n = allb.shape[0]
+    padded_n = -(-n // TILE) * TILE
+    x = jnp.zeros((padded_n, 64), jnp.int32).at[:n].set(allb.astype(jnp.int32))
+    a, b, scale, qy = (
+        jnp.asarray(c) for c in _realdct_constants("y", quality)
+    )
+    qc = jnp.asarray(_realdct_constants("c", quality)[3])
+    out = pl.pallas_call(
+        functools.partial(_realdct_t_planes_kernel, tile=TILE, ny=ny),
+        grid=(padded_n // TILE,),
+        in_specs=[
+            pl.BlockSpec((TILE, 64), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (TILE, 64), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((padded_n, 64), jnp.int16),
+        interpret=interpret,
+    )(x, a, b, scale, qy, qc)
+    return out[:ny], out[ny : ny + nc], out[ny + nc : n]
+
+
 # --------------------------------------------------------------------------
 # binDCT kernel
 # --------------------------------------------------------------------------

@@ -83,3 +83,23 @@ def test_transposed_chain_dct_matches_reference_kernel(transposed, rng):
             transposed=transposed,
         )
         assert np.array_equal(np.asarray(want), np.asarray(got))
+
+
+def test_transposed_planes_dct_matches_ops_fusion(rng):
+    """The 3-plane transposed-chain kernel must be bit-identical to
+    ops/dct.dct_quantize_planes (the shipping RealDCT default path),
+    including the per-lane luma/chroma quant select."""
+    import jax.numpy as jnp
+
+    y = jnp.asarray(rng.integers(0, 256, (600, 64), dtype=np.uint8))
+    cb = jnp.asarray(rng.integers(0, 256, (150, 64), dtype=np.uint8))
+    cr = jnp.asarray(rng.integers(0, 256, (150, 64), dtype=np.uint8))
+    want = dct.dct_quantize_planes(
+        y, cb, cr, DctAlgorithm.REAL_DCT, zigzag_out=True
+    )
+    got = dct_pallas.real_dct_quant_planes_zigzag_pallas_t(
+        y, cb, cr, interpret=True
+    )
+    for w, g in zip(want, got):
+        assert w.dtype == g.dtype == jnp.int16
+        assert np.array_equal(np.asarray(w), np.asarray(g))

@@ -69,3 +69,43 @@ for name, o in (("pallas", o_pl), ("transposed A", o_tk), ("pre-T B", o_tx)):
     if o is not None and o_ops is not None:
         eq = bool(jnp.all(o_ops.astype(jnp.int32) == o.astype(jnp.int32)))
         print(f"{name} bit-equal vs ops: {eq}")
+
+# --- the production comparison: 3-plane fusion, ops chain vs transposed ---
+from jpeg_encoder_tpu.config import DctAlgorithm  # noqa: E402
+
+NY, NC = 8 * 32640, 8 * 8160  # 1080p 4:2:0 batch-8 plane splits
+yb = jnp.asarray(rng.integers(0, 256, (NY, 64), np.uint8))
+cbb = jnp.asarray(rng.integers(0, 256, (NC, 64), np.uint8))
+crb = jnp.asarray(rng.integers(0, 256, (NC, 64), np.uint8))
+
+f_planes_ops = jax.jit(
+    lambda a, b, c: dct.dct_quantize_planes(
+        a, b, c, DctAlgorithm.REAL_DCT, zigzag_out=True
+    )
+)
+f_planes_t = jax.jit(dct_pallas.real_dct_quant_planes_zigzag_pallas_t)
+
+
+def timeit3(name, fn, iters=60):
+    try:
+        out = fn(yb, cbb, crb)
+        _ = np.asarray(out[0][0, 0])
+    except Exception as e:
+        print(f"{name:24s} FAILED: {type(e).__name__}: {str(e)[:140]}")
+        return None
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(yb, cbb, crb)
+    _ = np.asarray(out[0][0, 0])
+    dt = (time.perf_counter() - t0) / iters
+    print(f"{name:24s} {dt*1e3:8.2f} ms")
+    return out
+
+
+p_ops = timeit3("planes ops fusion", f_planes_ops)
+p_t = timeit3("planes transposed", f_planes_t)
+if p_ops is not None and p_t is not None:
+    eq = all(
+        bool(jnp.all(a == b)) for a, b in zip(p_ops, p_t)
+    )
+    print(f"planes transposed bit-equal vs ops: {eq}")
