@@ -176,6 +176,11 @@ class EncoderConfig:
     # to None. Extension beyond the reference (its tables are fixed;
     # jpeg_theory.md:162 lists quality scaling as unimplemented).
     quality: int | None = None
+    # Run the RealDCT default path through the transposed-chain Pallas
+    # kernel (kernels/dct_pallas.real_dct_quant_planes_zigzag_pallas_t)
+    # instead of the XLA ops chain. Bit-identical output; candidate hot
+    # path under hardware evaluation (see tools/exp_dct_chain_t.py).
+    transposed_dct: bool = False
     # Check the reference's entropy-range invariants (DC difference category
     # <= 11, AC size <= 10 — panics in entropy_coding.rs:153-155,188-191)
     # and raise host-side before emitting a corrupt scan. Unreachable for

@@ -97,6 +97,7 @@ def encode_core(
     with_coeffs: bool = True,
     bin_dct_descale: bool = False,
     quality: int | None = None,
+    transposed_dct: bool = False,
 ) -> dict[str, jnp.ndarray]:
     """(H, W, 3) uint8 -> packed entropy payload + quantized coefficients.
 
@@ -137,11 +138,19 @@ def encode_core(
         # un-permuted below either way. All three planes run through one
         # transform chain with a per-row quant-table select (bit-identical
         # to per-plane calls, one fusion instead of three).
-        y_z, cb_z, cr_z = dct.dct_quantize_planes(
-            sample.blockify(y), sample.blockify(cb), sample.blockify(cr),
-            algorithm, fast_dct, zigzag_out=True,
-            bin_dct_descale=bin_dct_descale, quality=quality,
-        )
+        if transposed_dct and algorithm == DctAlgorithm.REAL_DCT and not fast_dct:
+            from jpeg_encoder_tpu.kernels import dct_pallas
+
+            y_z, cb_z, cr_z = dct_pallas.real_dct_quant_planes_zigzag_pallas_t(
+                sample.blockify(y), sample.blockify(cb), sample.blockify(cr),
+                interpret=jax.default_backend() != "tpu", quality=quality,
+            )
+        else:
+            y_z, cb_z, cr_z = dct.dct_quantize_planes(
+                sample.blockify(y), sample.blockify(cb), sample.blockify(cr),
+                algorithm, fast_dct, zigzag_out=True,
+                bin_dct_descale=bin_dct_descale, quality=quality,
+            )
         payload, total_bits = entropy.encode_scan(
             y_z, cb_z, cr_z, geom, capacity_bytes, coeffs_zigzagged=True,
             packer=packer,
@@ -172,13 +181,14 @@ def compiled_encoder(
     with_coeffs: bool = False,
     bin_dct_descale: bool = False,
     quality: int | None = None,
+    transposed_dct: bool = False,
 ):
     """Jitted encode_core for one static configuration (cached)."""
 
     def fn(rgb: jnp.ndarray) -> dict[str, jnp.ndarray]:
         return encode_core(
             rgb, geom, algorithm, capacity_bytes, fast_dct, use_pallas,
-            validate, with_coeffs, bin_dct_descale, quality,
+            validate, with_coeffs, bin_dct_descale, quality, transposed_dct,
         )
 
     return jax.jit(fn)
@@ -225,7 +235,7 @@ def encode_array(
         out = compiled_encoder(
             geom, config.dct_algorithm, capacity, config.fast_dct,
             config.use_pallas, config.validate, return_coeffs,
-            config.bin_dct_descale, config.quality,
+            config.bin_dct_descale, config.quality, config.transposed_dct,
         )(device_rgb)
         if config.validate:
             validate_scan_ranges(

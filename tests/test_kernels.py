@@ -103,3 +103,15 @@ def test_transposed_planes_dct_matches_ops_fusion(rng):
     for w, g in zip(want, got):
         assert w.dtype == g.dtype == jnp.int16
         assert np.array_equal(np.asarray(w), np.asarray(g))
+
+
+def test_transposed_dct_config_end_to_end(rng):
+    """EncoderConfig(transposed_dct=True) must produce byte-identical files
+    to the default path (any geometry, with and without quality scaling)."""
+    for q in (None, 80):
+        rgb = rng.integers(0, 256, size=(33, 49, 3), dtype=np.uint8)
+        base = pipeline.encode_array(rgb, EncoderConfig(quality=q))
+        t = pipeline.encode_array(
+            rgb, EncoderConfig(quality=q, transposed_dct=True)
+        )
+        assert base.file_bytes == t.file_bytes
