@@ -63,11 +63,15 @@ def main() -> None:
                                    (BATCH, HEIGHT, WIDTH, 3)) * 0.1
         return ((img * 0.9 + noise) * 255).astype(jnp.uint8)
 
+    # Dev A/B knob: JPEG_TPU_TRANSPOSED_DCT=1 swaps the RealDCT chain for
+    # the transposed-chain Pallas kernel (byte-identical output).
+    transposed_dct = os.environ.get("JPEG_TPU_TRANSPOSED_DCT") == "1"
+
     def encode_batch(images):
         def one(rgb):
             out = pipeline.encode_core(
                 rgb, geom, DctAlgorithm.REAL_DCT, capacity, fast_dct=False,
-                with_coeffs=False,
+                with_coeffs=False, transposed_dct=transposed_dct,
             )
             return out["payload"], out["total_bits"]
         return jax.vmap(one)(images)
