@@ -144,12 +144,19 @@ def marshal_scan_inputs(
     m = geom.num_mcus
     bpm = geom.blocks_per_mcu
     by, bx = geom.luma_blocks_y, geom.luma_blocks_x
-    sup = (
-        y_coeffs
-        .reshape(by // v, v, bx // h, h, 64)
-        .transpose(0, 2, 1, 3, 4)
-        .reshape(-1, hv, 64)
-    )
+    if v == 1:
+        # Superblocks are h CONSECUTIVE row-major blocks (4:2:2 / 4:4:4):
+        # the general 5-D transpose below only moves a singleton axis here,
+        # which XLA may still materialize as a (bad-layout) int16 copy —
+        # make the no-op explicit with a pure reshape.
+        sup = y_coeffs.reshape(-1, hv, 64)
+    else:
+        sup = (
+            y_coeffs
+            .reshape(by // v, v, bx // h, h, 64)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(-1, hv, 64)
+        )
     y_mcu = sup[:m]  # (m, hv, 64)
     rows = jnp.concatenate(
         [y_mcu, cb_coeffs[:, None, :], cr_coeffs[:, None, :]], axis=1
