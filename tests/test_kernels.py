@@ -96,7 +96,7 @@ def test_transposed_planes_dct_matches_ops_fusion(rng):
     cr = jnp.asarray(rng.integers(0, 256, (150, 64), dtype=np.uint8))
     want = dct.dct_quantize_planes(
         y, cb, cr, DctAlgorithm.REAL_DCT, zigzag_out=True
-    )
+    )[:3]
     got = dct_pallas.real_dct_quant_planes_zigzag_pallas_t(
         y, cb, cr, interpret=True
     )

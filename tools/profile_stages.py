@@ -7,6 +7,7 @@ alone on precomputed inputs.
 
     python tools/profile_stages.py [4:2:0|4:2:2|4:4:4] [real-dct|bin-dct]
 """
+import os
 import sys
 import time
 
@@ -63,11 +64,14 @@ def front_planes(rgb):
     return y, cb, cr
 
 
+GUARDED = os.environ.get("JPEG_TPU_GUARDED_DCT") == "1"
+
+
 def front_dct(rgb):
     y, cb, cr = front_planes(rgb)
     return dct.dct_quantize_planes(
         sample.blockify(y), sample.blockify(cb), sample.blockify(cr),
-        ALG, False, zigzag_out=True)
+        ALG, False, zigzag_out=True, guarded_dct=GUARDED)[:3]
 
 
 def marshal(y_z, cb_z, cr_z):
@@ -101,7 +105,7 @@ def s3(rgb):
 def s4(rgb):
     def one(im):
         out = pipeline.encode_core(
-            im, geom, ALG, cap, with_coeffs=False)
+            im, geom, ALG, cap, with_coeffs=False, guarded_dct=GUARDED)
         return out["total_bits"]
     return jnp.sum(jax.vmap(one)(rgb))
 
