@@ -130,11 +130,11 @@ def _bit_length_f32(av):
 
 
 def _entropy_kernel(
-    z_ref, dcdiff_ref, lut_ref, live_ref,
+    z_ref, lut_ref, live_ref,
     out_ref, bits_ref,
-    c0s, c1s, c2s, rloc, carry, acc2,
+    c0s, c1s, c2s, c3s, c4s, rloc, carry, acc2,
     *, tile, num_entries, blocks_per_mcu, hv, num_words, lut_scalars,
-    n_chains,
+    n_chains, merge,
 ):
     pid = pl.program_id(0)
 
@@ -176,18 +176,15 @@ def _entropy_kernel(
     zeros_before = run_dist - 1
 
     # ---- symbols: AC, DC (lane 0), EOB (lane 63, zero coefficient) ----
+    # Lane 0 / 64 of each row holds the entry's DC DIFFERENCE (the caller
+    # merges it into the coefficient rows), so the AC bit-length/amplitude
+    # formulas cover the DC slot verbatim — no separate DC input or network.
     ac_bl = _bit_length_f32(jnp.abs(z))
     ac_sym = ((zeros_before & 15) << 4) | ac_bl
     ac_ampl = jnp.where(z < 0, z + (1 << ac_bl) - 1, z) & ((1 << ac_bl) - 1)
 
-    d2 = dcdiff_ref[:]                   # (T2, 2)
-    diff = jnp.where(half, d2[:, 1:2], d2[:, 0:1])
-    dc_bl = _bit_length_f32(jnp.abs(diff))
-    dc_ampl = jnp.where(diff < 0, diff + (1 << dc_bl) - 1, diff) & (
-        (1 << dc_bl) - 1
-    )
     is_dc = lane64 == 0
-    sym = jnp.where(is_dc, (dc_bl + 1) << 4, ac_sym)
+    sym = jnp.where(is_dc, (ac_bl + 1) << 4, ac_sym)
 
     # ---- Huffman gathers for every slot ----
     def bc(row):
@@ -222,10 +219,8 @@ def _entropy_kernel(
         )
         cl = jnp.where(is_luma, y_cl, c_cl)
 
-    ampl = jnp.where(is_dc, dc_ampl, ac_ampl)
-    bl = jnp.where(is_dc, dc_bl, ac_bl)
-    coded_bits = ((cl & 0xFFFFF) << bl) | ampl
-    coded_len = (cl >> 20) + bl
+    coded_bits = ((cl & 0xFFFFF) << ac_bl) | ac_ampl
+    coded_len = (cl >> 20) + ac_bl
 
     zrl_y, zrl_c, eob_y, eob_c = lut_scalars
     zrl_here = (
@@ -258,14 +253,17 @@ def _entropy_kernel(
 
     # ---- pair-local exclusive bit offsets ----
     # Entry B's bits follow entry A's contiguously in the final stream, so
-    # the whole ROW is one 128-slot sequence: a single full-width cumsum
-    # yields pair-relative offsets, and everything downstream (staircase,
-    # binary search, rotation) runs once per PAIR instead of per entry.
-    incl = slot_lens
-    k = 1
-    while k < 128:
-        incl = incl + _shift_lanes(incl, k, 0)
-        k *= 2
+    # the whole ROW is one 128-slot sequence and its inclusive prefix sum
+    # is ONE MXU matmul against an upper-triangular ones matrix (the VPU
+    # shift network this replaces was 7 roll+mask+add steps). Exact:
+    # slot lengths <= 31 are bf16-representable integers and every f32
+    # partial sum <= 128 * 31 is far below 2^24.
+    ii = _lane_iota((128, 128), 0)
+    tri = (ii <= _lane_iota((128, 128), 1)).astype(jnp.bfloat16)
+    incl = jnp.dot(
+        slot_lens.astype(jnp.bfloat16), tri,
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
     local_off = incl - slot_lens
     pair_bits = incl[:, 127:128]         # (T2, 1)
 
@@ -345,18 +343,40 @@ def _entropy_kernel(
     rot = jnp.take_along_axis(sh, w_rel, axis=1)
     c0 = jnp.where(lane >= l_a, rot, 0)
     c1 = jnp.where(lane < l_a, rot, 0)
-    # Quad merge: row pair (2j, 2j+1) — four consecutive entries — spans
-    # <= 226 words = at most THREE output rows, so a sublane roll brings
-    # row 2j+1's contributions up to row 2j (d = its row offset, 0 or 1)
-    # and the assembly loop runs over even rows only: half the RMWs.
-    r_next = pltpu.roll(r_a, t2 - 1, 0)
-    d = r_next - r_a                     # valid at even rows
-    c0n = pltpu.roll(c0, t2 - 1, 0)
-    c1n = pltpu.roll(c1, t2 - 1, 0)
-    c0s[:] = c0 | jnp.where(d == 0, c0n, 0)
-    c1s[:] = c1 | jnp.where(d == 0, c1n, jnp.where(d == 1, c0n, 0))
-    c2s[:] = jnp.where(d == 1, c1n, 0)
+    # Merge consecutive kernel rows so the sequential loop does one RMW
+    # per `merge` rows (2*merge entries). merge=2 (quad): rows (2j, 2j+1)
+    # span <= 226 words = THREE output rows. merge=4 (oct): rows
+    # 4j..4j+3 span <= 452 words = FIVE output rows (each pair adds
+    # <= 111 words, so the row offset d_k of row 4j+k relative to 4j
+    # satisfies d_k <= k, and its c1 lands at d_k + 1 <= 4). Rolls bring
+    # row p+k's contributions up to row p; data-dependent row offsets
+    # become selects.
+    def up(x, k):
+        return pltpu.roll(x, t2 - k, 0)
+
     rloc[:] = r_a
+    if merge == 2:
+        d = up(r_a, 1) - r_a             # valid at even rows
+        c0n = up(c0, 1)
+        c1n = up(c1, 1)
+        c0s[:] = c0 | jnp.where(d == 0, c0n, 0)
+        c1s[:] = c1 | jnp.where(d == 0, c1n, jnp.where(d == 1, c0n, 0))
+        c2s[:] = jnp.where(d == 1, c1n, 0)
+        span = 3
+    else:
+        assert merge == 4
+        acc = [c0, c1, jnp.zeros_like(c0), jnp.zeros_like(c0),
+               jnp.zeros_like(c0)]
+        for k in (1, 2, 3):
+            d = up(r_a, k) - r_a         # in 0..k at rows p % 4 == 0
+            c0k = up(c0, k)
+            c1k = up(c1, k)
+            for j in range(k + 1):
+                acc[j] = acc[j] | jnp.where(d == j, c0k, 0)
+                acc[j + 1] = acc[j + 1] | jnp.where(d == j, c1k, 0)
+        c0s[:], c1s[:], c2s[:] = acc[0], acc[1], acc[2]
+        c3s[:], c4s[:] = acc[3], acc[4]
+        span = 5
 
     # ---- sequential assembly into the resident output ----
     # Only the read-modify-OR into the (dynamically addressed) output rows
@@ -366,30 +386,30 @@ def _entropy_kernel(
     # written by exactly one entry, so OR-ing the accumulators at the end
     # reproduces the single sequential stream exactly.
     nrows = out_ref.shape[0]
+    bufs = [c0s, c1s, c2s, c3s, c4s][:span]
 
     def rmw(target, band, p):
         r = band * nrows + rloc[p, 0]
         contrib = jnp.concatenate(
-            [c0s[pl.ds(p, 1), :], c1s[pl.ds(p, 1), :], c2s[pl.ds(p, 1), :]],
-            axis=0,
+            [b[pl.ds(p, 1), :] for b in bufs], axis=0
         )
-        cur = target[pl.ds(r, 3), :]
-        target[pl.ds(r, 3), :] = cur | contrib
+        cur = target[pl.ds(r, span), :]
+        target[pl.ds(r, span), :] = cur | contrib
 
     if n_chains == 1:
         def body(i, _):
-            rmw(out_ref, 0, 2 * i)
+            rmw(out_ref, 0, merge * i)
             return 0
 
-        jax.lax.fori_loop(0, t2 // 2, body, 0, unroll=False)
+        jax.lax.fori_loop(0, t2 // merge, body, 0, unroll=False)
     else:
         def body(i, _):
-            rmw(out_ref, 0, 2 * n_chains * i)
+            rmw(out_ref, 0, merge * n_chains * i)
             for k in range(1, n_chains):
-                rmw(acc2, k - 1, 2 * (n_chains * i + k))
+                rmw(acc2, k - 1, merge * (n_chains * i + k))
             return 0
 
-        jax.lax.fori_loop(0, t2 // (2 * n_chains), body, 0, unroll=False)
+        jax.lax.fori_loop(0, t2 // (merge * n_chains), body, 0, unroll=False)
 
         @pl.when(pid == pl.num_programs(0) - 1)
         def _():
@@ -422,6 +442,7 @@ def encode_entropy_fused(
     interpret: bool = False,
     n_chains_override: int | None = None,
     live_entries: jnp.ndarray | None = None,
+    merge: int = 2,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fused device entropy coding: returns (u32 words flat bytes, total_bits).
 
@@ -430,11 +451,15 @@ def encode_entropy_fused(
     live_entries (traced scalar, default: all) masks the scan suffix at
     index >= live_entries to emit zero bits — uneven MCU-band sharding's
     dead-row entries (parallel/tiled.py) ride the fused path with it.
+    merge (2 or 4) sets how many kernel rows the assembly loop folds into
+    one read-modify-OR (quad vs oct merge; same bytes either way).
     """
     assert capacity_bytes % 4 == 0
+    assert merge in (2, 4)
+    span = 3 if merge == 2 else 5
     num_entries = z.shape[0]
     num_words = capacity_bytes // 4
-    rows = -(-(num_words // 128 + 3) // 8) * 8
+    rows = -(-(num_words // 128 + span) // 8) * 8
     # Extra accumulators (independent RMW dependency chains) trade VMEM
     # for merge-loop latency; spend a ~32 MB accumulator budget against
     # the compiler VMEM ceiling set below. Must be a power of two so the
@@ -443,17 +468,24 @@ def encode_entropy_fused(
     n_chains = 1 << (n_chains.bit_length() - 1)
     if n_chains_override is not None:
         n_chains = n_chains_override
-    assert (TILE // 4) % n_chains == 0
+    assert (TILE // (2 * merge)) % n_chains == 0
 
+    # Merge the DC difference into slot 0 of each entry (slot 0 is the raw
+    # DC coefficient, which the scan never emits): the kernel's AC
+    # symbolization formulas then cover the DC slot verbatim, with no
+    # second input block. XLA fuses this concat into the marshalling
+    # producer, so no extra HBM pass materializes. int16 is safe: valid
+    # scans have |DC diff| <= 2047 (pipeline.validate_scan_ranges).
+    z = jnp.concatenate(
+        [dc_diff.astype(z.dtype)[:, None], z[:, 1:]], axis=1
+    )
     padded_e = -(-num_entries // TILE) * TILE
     if padded_e != num_entries:
         pad = padded_e - num_entries
         z = jnp.concatenate([z, jnp.zeros((pad, 64), z.dtype)])
-        dc_diff = jnp.concatenate([dc_diff, jnp.zeros((pad,), dc_diff.dtype)])
     # Two entries per kernel row: row-major (E, 64) and (E/2, 128) are the
     # same HBM bytes, so this reshape is free.
     z2 = z.reshape(padded_e // 2, 128)
-    d2 = dc_diff.astype(jnp.int32).reshape(padded_e // 2, 2)
     if live_entries is None:
         live_entries = num_entries
     live2 = jnp.asarray(live_entries, jnp.int32).reshape(1, 1)
@@ -467,6 +499,7 @@ def encode_entropy_fused(
         num_words=num_words,
         lut_scalars=_lut_scalars(),
         n_chains=n_chains,
+        merge=merge,
     )
     t2 = TILE // 2
     out, bits = pl.pallas_call(
@@ -474,7 +507,6 @@ def encode_entropy_fused(
         grid=(padded_e // TILE,),
         in_specs=[
             pl.BlockSpec((t2, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((t2, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
@@ -490,6 +522,10 @@ def encode_entropy_fused(
             pltpu.VMEM((t2, 128), jnp.uint32),
             pltpu.VMEM((t2, 128), jnp.uint32),
             pltpu.VMEM((t2, 128), jnp.uint32),
+            # Oct-merge's 4th/5th contribution rows; minimal dummies when
+            # the quad merge never touches them.
+            pltpu.VMEM((t2 if merge == 4 else 8, 128), jnp.uint32),
+            pltpu.VMEM((t2 if merge == 4 else 8, 128), jnp.uint32),
             pltpu.VMEM((t2, 1), jnp.int32),
             pltpu.SMEM((1,), jnp.int32),
             # One accumulator band per extra chain; a minimal dummy when
@@ -503,5 +539,5 @@ def encode_entropy_fused(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(z2, d2, jnp.asarray(_lut_rows()), live2)
+    )(z2, jnp.asarray(_lut_rows()), live2)
     return out.reshape(-1)[:num_words], bits[0, 0]

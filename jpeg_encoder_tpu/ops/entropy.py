@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -145,10 +146,8 @@ def marshal_scan_inputs(
     bpm = geom.blocks_per_mcu
     by, bx = geom.luma_blocks_y, geom.luma_blocks_x
     if v == 1:
-        # Superblocks are h CONSECUTIVE row-major blocks (4:2:2 / 4:4:4):
-        # the general 5-D transpose below only moves a singleton axis here,
-        # which XLA may still materialize as a (bad-layout) int16 copy —
-        # make the no-op explicit with a pure reshape.
+        # Superblocks are h CONSECUTIVE row-major blocks (4:2:2 / 4:4:4), so
+        # the luma scan order is the IDENTITY and sup is a pure reshape.
         sup = y_coeffs.reshape(-1, hv, 64)
     else:
         sup = (
@@ -158,9 +157,19 @@ def marshal_scan_inputs(
             .reshape(-1, hv, 64)
         )
     y_mcu = sup[:m]  # (m, hv, 64)
-    rows = jnp.concatenate(
-        [y_mcu, cb_coeffs[:, None, :], cr_coeffs[:, None, :]], axis=1
-    ).reshape(m * bpm, 64)
+    if v == 1 and h == 2:
+        # 4:2:2 fast interleave: each MCU is exactly two 128-lane rows,
+        # [Y_2k|Y_2k+1] then [Cb_k|Cr_k], so the scan is a stack of clean
+        # 128-lane rows. The general (m, 2, 64)+(m, 1, 64)+(m, 1, 64) i16
+        # concat below picks a pathological layout on TPU (measured 3.2 ms
+        # vs 1.75 for this form on the 1080p batch; tools/exp_marshal422).
+        y2 = y_mcu.reshape(m, 128)
+        cc = jnp.concatenate([cb_coeffs, cr_coeffs], axis=1)  # (m, 128)
+        rows = jnp.stack([y2, cc], axis=1).reshape(m * bpm, 64)
+    else:
+        rows = jnp.concatenate(
+            [y_mcu, cb_coeffs[:, None, :], cr_coeffs[:, None, :]], axis=1
+        ).reshape(m * bpm, 64)
     if not coeffs_zigzagged:
         rows = rows[:, jnp.asarray(tables.ZIGZAG_ORDER)]
 
@@ -232,10 +241,13 @@ def encode_scan(
         # the fused Pallas kernel; only marshalling stays in XLA.
         from jpeg_encoder_tpu.kernels import entropy_pallas
 
+        # Dev A/B knob for the assembly merge depth (quad vs oct);
+        # read at trace time, so it is baked into the compiled program.
+        merge = 4 if os.environ.get("JPEG_TPU_KERNEL_MERGE") == "4" else 2
         words, total_bits = entropy_pallas.encode_entropy_fused(
             z, entry_diff, geom, capacity_bytes,
             interpret=(packer == "fused_interpret"),
-            live_entries=live_entries,
+            live_entries=live_entries, merge=merge,
         )
         return _words_to_bytes(words), total_bits
     z = z.astype(jnp.int32)

@@ -288,6 +288,30 @@ def test_fused_kernel_single_chain_branch(rng):
     assert np.array_equal(np.asarray(w1), np.asarray(w2))
 
 
+def test_fused_kernel_oct_merge_branch(rng):
+    """The merge=4 (oct) assembly must be byte-identical to the quad
+    default, including with a single accumulator chain."""
+    import jax.numpy as jnp
+
+    from jpeg_encoder_tpu.config import EncoderConfig
+    from jpeg_encoder_tpu.kernels import entropy_pallas
+
+    geom = EncoderConfig(subsampling_ratio=(4, 2, 0)).geometry(64, 32)
+    e = geom.num_scan_entries
+    z = rng.integers(-200, 200, (e, 64)).astype(np.int16)
+    z[:, 6:] = np.where(rng.random(z[:, 6:].shape) < 0.8, 0, z[:, 6:])
+    d = rng.integers(-300, 300, (e,)).astype(np.int32)
+    cap = 1 << 14
+    w1, b1 = entropy_pallas.encode_entropy_fused(
+        jnp.asarray(z), jnp.asarray(d), geom, cap, interpret=True)
+    for chains in (None, 1):
+        w2, b2 = entropy_pallas.encode_entropy_fused(
+            jnp.asarray(z), jnp.asarray(d), geom, cap, interpret=True,
+            n_chains_override=chains, merge=4)
+        assert int(b1) == int(b2)
+        assert np.array_equal(np.asarray(w1), np.asarray(w2))
+
+
 @pytest.mark.parametrize("ratio", [(4, 2, 0), (4, 4, 4)])
 def test_fused_kernel_live_entries_masking(ratio, rng):
     """live_entries (uneven MCU-band sharding) must mask the dead scan
