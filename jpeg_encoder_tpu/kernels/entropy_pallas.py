@@ -130,11 +130,11 @@ def _bit_length_f32(av):
 
 
 def _entropy_kernel(
-    z_ref, lut_ref, live_ref,
+    z_ref, lut_ref, live_ref, init_ref,
     out_ref, bits_ref,
-    c0s, c1s, c2s, c3s, c4s, rloc, carry, acc2,
+    c0s, c1s, c2s, c3s, c4s, rloc, carry, dc_carry, acc2,
     *, tile, num_entries, blocks_per_mcu, hv, num_words, lut_scalars,
-    n_chains, merge,
+    n_chains, merge, dc_in_kernel,
 ):
     pid = pl.program_id(0)
 
@@ -159,6 +159,64 @@ def _entropy_kernel(
     # suffix, so the carry/total-bits accounting needs no other change.
     valid = entry_idx < jnp.minimum(num_entries, live_ref[0, 0])
     is_luma = (entry_idx % blocks_per_mcu) < hv      # (T2, 128) bool
+
+    # ---- DC differences, in-kernel (dc_in_kernel=True) ----
+    # Slot 0 of every entry holds its RAW DC (the scan never emits it).
+    # The previous same-component entry sits a STATIC distance back in
+    # scan order: 1 for a luma block after another in its MCU,
+    # bpm - hv + 1 for an MCU's first luma block (previous MCU's last
+    # luma), bpm for chroma (entropy_coding.rs:38-44 predictor chains).
+    # With two entries per row those lookbacks are static row slices of
+    # the tile's DC columns, extended by an 8-row carry of the previous
+    # tile's DCs (the grid is sequential); the first entries of the scan
+    # take their component's init predictor instead.
+    # Everything stays FULL-WIDTH (t2, 128): only lanes 0 and 64 carry DC
+    # values, but narrow (t2, 1) column slices of z pick up nonzero lane
+    # offsets in their vector layout and Mosaic cannot concatenate those
+    # along sublanes ("offset mismatch on non-concat dimension"); masked
+    # full rows keep every operand at the canonical {0,0} layout.
+    bpm = blocks_per_mcu
+    if dc_in_kernel:
+        dcs = jnp.where(lane64 == 0, z, 0)  # lane 0: A's raw DC, 64: B's
+        ext = jnp.concatenate([dc_carry[:], dcs], axis=0)  # (t2 + 8, 128)
+        swap = pltpu.roll(ext, 64, 1)        # A <-> B columns
+
+        def back(src, s):                    # value s ROWS back, same lane
+            return src[8 - s : 8 - s + t2, :]
+
+        def prev_full(d):                    # prev DC at distance d
+            if d % 2 == 0:
+                return back(ext, d // 2)
+            # Odd distances cross columns: entry A's predecessor is a B
+            # entry (d+1)//2 rows back; B's is an A entry (d-1)//2 back.
+            return jnp.where(
+                half, back(swap, (d - 1) // 2), back(swap, (d + 1) // 2)
+            )
+
+        d_first = bpm - hv + 1               # MCU's first luma block
+        dists = sorted({1, d_first, bpm} if hv > 1 else {d_first})
+        prevs = {d: prev_full(d) for d in dists}
+
+        pos = entry_idx % bpm
+        init = jnp.where(
+            pos < hv, init_ref[0, 0],
+            jnp.where(pos == hv, init_ref[0, 1], init_ref[0, 2]),
+        )
+        if hv > 1:
+            d = jnp.where(pos >= hv, bpm, jnp.where(pos == 0, d_first, 1))
+            sel = jnp.where(
+                pos >= hv, prevs[bpm],
+                jnp.where(pos == 0, prevs[d_first], prevs[1]),
+            )
+        else:
+            d = d_first
+            sel = prevs[d_first]
+        # Entries before their chain's first predecessor take the init
+        # predictor; dc_carry is never read on the first tile because
+        # those rows always satisfy entry_idx < d (no zero-init needed).
+        prev = jnp.where(entry_idx < d, init, sel)
+        z = jnp.where(lane64 == 0, z - prev, z)
+        dc_carry[:] = dcs[t2 - 8 :, :]
 
     # ---- run-length state per half ----
     nz_marker = jnp.where((z != 0) & (lane64 > 0), lane64, 0)
@@ -436,16 +494,28 @@ def _lut_scalars():
 
 def encode_entropy_fused(
     z: jnp.ndarray,        # (E, 64) zigzag coeffs in scan-entry order
-    dc_diff: jnp.ndarray,  # (E,) i32 DC differences in scan-entry order
     geom,
     capacity_bytes: int,
+    init_dc: jnp.ndarray | None = None,  # (3,) i32 initial DC predictors
     interpret: bool = False,
     n_chains_override: int | None = None,
     live_entries: jnp.ndarray | None = None,
     merge: int = 2,
+    dc_in_kernel: bool = True,
+    dc_diff: jnp.ndarray | None = None,  # (E,) i32, dc_in_kernel=False only
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fused device entropy coding: returns (u32 words flat bytes, total_bits).
 
+    dc_in_kernel=True (default): slot 0 of each entry holds the RAW DC
+    coefficient and the kernel computes the running-predictor differences
+    itself (static scan-order lookbacks; init_dc seeds the three component
+    predictors, as the MCU-band-sharded path needs). dc_in_kernel=False:
+    the caller passes dc_diff and the differences are merged into slot 0
+    here, in XLA. The modes are byte-identical; the split exists because
+    XLA's chain-fusion emission flips between good and catastrophic
+    windowing depending on this exact program structure, per ratio
+    (measured 4:2:2: XLA merge 935 vs in-kernel 738 Mpix/s; 4:2:0/4:4:4
+    the other way: 1510/753 vs 1384/706 — tools/chip_session.log).
     n_chains_override forces the accumulator-chain count (tests use it to
     exercise the single-chain assembly branch at small capacities).
     live_entries (traced scalar, default: all) masks the scan suffix at
@@ -470,15 +540,15 @@ def encode_entropy_fused(
         n_chains = n_chains_override
     assert (TILE // (2 * merge)) % n_chains == 0
 
-    # Merge the DC difference into slot 0 of each entry (slot 0 is the raw
-    # DC coefficient, which the scan never emits): the kernel's AC
-    # symbolization formulas then cover the DC slot verbatim, with no
-    # second input block. XLA fuses this concat into the marshalling
-    # producer, so no extra HBM pass materializes. int16 is safe: valid
-    # scans have |DC diff| <= 2047 (pipeline.validate_scan_ranges).
-    z = jnp.concatenate(
-        [dc_diff.astype(z.dtype)[:, None], z[:, 1:]], axis=1
-    )
+    if not dc_in_kernel:
+        # Merge the DC difference into slot 0 of each entry (slot 0 is the
+        # raw DC, which the scan never emits): the kernel's AC formulas
+        # then cover the DC slot verbatim. int16 is safe: valid scans have
+        # |DC diff| <= 2047 (pipeline.validate_scan_ranges).
+        assert dc_diff is not None
+        z = jnp.concatenate(
+            [dc_diff.astype(z.dtype)[:, None], z[:, 1:]], axis=1
+        )
     padded_e = -(-num_entries // TILE) * TILE
     if padded_e != num_entries:
         pad = padded_e - num_entries
@@ -489,6 +559,9 @@ def encode_entropy_fused(
     if live_entries is None:
         live_entries = num_entries
     live2 = jnp.asarray(live_entries, jnp.int32).reshape(1, 1)
+    if init_dc is None:
+        init_dc = jnp.zeros((3,), jnp.int32)
+    init2 = jnp.asarray(init_dc, jnp.int32).reshape(1, 3)
 
     kernel = functools.partial(
         _entropy_kernel,
@@ -500,6 +573,7 @@ def encode_entropy_fused(
         lut_scalars=_lut_scalars(),
         n_chains=n_chains,
         merge=merge,
+        dc_in_kernel=dc_in_kernel,
     )
     t2 = TILE // 2
     out, bits = pl.pallas_call(
@@ -509,6 +583,7 @@ def encode_entropy_fused(
             pl.BlockSpec((t2, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec((rows, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -528,6 +603,9 @@ def encode_entropy_fused(
             pltpu.VMEM((t2 if merge == 4 else 8, 128), jnp.uint32),
             pltpu.VMEM((t2, 1), jnp.int32),
             pltpu.SMEM((1,), jnp.int32),
+            # Previous tile's last 8 rows of raw DCs (full-width, lanes 0
+            # and 64 live) for the cross-tile DC-difference lookbacks.
+            pltpu.VMEM((8, 128), jnp.int32),
             # One accumulator band per extra chain; a minimal dummy when
             # n_chains == 1 (the single-chain path never touches acc2 —
             # a full-sized dummy would double VMEM demand and push >49 MB
@@ -539,5 +617,5 @@ def encode_entropy_fused(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(z2, jnp.asarray(_lut_rows()), live2)
+    )(z2, jnp.asarray(_lut_rows()), live2, init2)
     return out.reshape(-1)[:num_words], bits[0, 0]

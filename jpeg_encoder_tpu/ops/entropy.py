@@ -127,8 +127,13 @@ def marshal_scan_inputs(
     geom: FrameGeometry,
     init_dc: jnp.ndarray | None = None,
     coeffs_zigzagged: bool = False,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+    want_diff: bool = True,
+) -> tuple[jnp.ndarray, jnp.ndarray | None]:
     """Natural-order coefficient planes -> (scan-entry rows, DC diffs).
+
+    want_diff=False skips the DC-difference computation (the fused kernel
+    computes differences itself from the raw DCs in slot 0) and returns
+    None in its place.
 
     Scan-entry ordering via pure layout ops (no gathers): luma blocks
     regroup into h x v superblocks with one reshape/transpose; MCU k's
@@ -159,19 +164,24 @@ def marshal_scan_inputs(
     y_mcu = sup[:m]  # (m, hv, 64)
     if v == 1 and h == 2:
         # 4:2:2 fast interleave: each MCU is exactly two 128-lane rows,
-        # [Y_2k|Y_2k+1] then [Cb_k|Cr_k], so the scan is a stack of clean
-        # 128-lane rows. The general (m, 2, 64)+(m, 1, 64)+(m, 1, 64) i16
-        # concat below picks a pathological layout on TPU (measured 3.2 ms
-        # vs 1.75 for this form on the 1080p batch; tools/exp_marshal422).
+        # [Y_2k|Y_2k+1] then [Cb_k|Cr_k]. Interleaving rows of equal-width
+        # arrays is a LANE concat plus a free reshape: (m, 256) row-major
+        # IS rows [y2[k], cb[k]|cr[k]] alternating. Both the general
+        # (m, 2, 64)+(m, 1, 64)+(m, 1, 64) i16 concat and a stack-based
+        # interleave pick pathological TPU layouts here (measured 3.2 /
+        # 8.2 ms in situ vs sub-ms for this form; tools/exp_marshal422).
         y2 = y_mcu.reshape(m, 128)
-        cc = jnp.concatenate([cb_coeffs, cr_coeffs], axis=1)  # (m, 128)
-        rows = jnp.stack([y2, cc], axis=1).reshape(m * bpm, 64)
+        rows = jnp.concatenate(
+            [y2, cb_coeffs[:m], cr_coeffs[:m]], axis=1
+        ).reshape(m * bpm, 64)
     else:
         rows = jnp.concatenate(
             [y_mcu, cb_coeffs[:, None, :], cr_coeffs[:, None, :]], axis=1
         ).reshape(m * bpm, 64)
     if not coeffs_zigzagged:
         rows = rows[:, jnp.asarray(tables.ZIGZAG_ORDER)]
+    if not want_diff:
+        return rows, None
 
     if init_dc is None:
         init_dc = jnp.zeros((3,), jnp.int32)
@@ -232,24 +242,35 @@ def encode_scan(
     hv = geom.h_factor * geom.v_factor
     m = geom.num_mcus
     bpm = geom.blocks_per_mcu
-    z, entry_diff = marshal_scan_inputs(
-        y_coeffs, cb_coeffs, cr_coeffs, geom, init_dc, coeffs_zigzagged
-    )
 
     if packer in ("fused", "fused_interpret"):
-        # Everything below (symbolization, LUTs, packing) happens inside
-        # the fused Pallas kernel; only marshalling stays in XLA.
+        # Everything below (symbolization, DC differences, LUTs, packing)
+        # happens inside the fused Pallas kernel; only marshalling stays
+        # in XLA (want_diff=False: the kernel differences the raw DCs).
+        # EXCEPT at 4:2:2, where the DC differences stay in XLA: the
+        # chain-fusion emission flips per program structure and the XLA
+        # merge measures 935 vs 738 Mpix/s there, while 4:2:0 and 4:4:4
+        # prefer in-kernel DC (1510/753 vs 1384/706; chip_session.log).
         from jpeg_encoder_tpu.kernels import entropy_pallas
 
+        dc_in_kernel = not (geom.h_factor == 2 and geom.v_factor == 1)
+        z, entry_diff = marshal_scan_inputs(
+            y_coeffs, cb_coeffs, cr_coeffs, geom, init_dc,
+            coeffs_zigzagged, want_diff=not dc_in_kernel,
+        )
         # Dev A/B knob for the assembly merge depth (quad vs oct);
         # read at trace time, so it is baked into the compiled program.
         merge = 4 if os.environ.get("JPEG_TPU_KERNEL_MERGE") == "4" else 2
         words, total_bits = entropy_pallas.encode_entropy_fused(
-            z, entry_diff, geom, capacity_bytes,
+            z, geom, capacity_bytes, init_dc=init_dc,
             interpret=(packer == "fused_interpret"),
             live_entries=live_entries, merge=merge,
+            dc_in_kernel=dc_in_kernel, dc_diff=entry_diff,
         )
         return _words_to_bytes(words), total_bits
+    z, entry_diff = marshal_scan_inputs(
+        y_coeffs, cb_coeffs, cr_coeffs, geom, init_dc, coeffs_zigzagged
+    )
     z = z.astype(jnp.int32)
 
     is_luma = jnp.asarray(

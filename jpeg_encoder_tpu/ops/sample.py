@@ -46,14 +46,22 @@ def subsample_plane(plane: jnp.ndarray, geom: FrameGeometry) -> jnp.ndarray:
         # reference ratios); a factor-4 ratio (4:1:1) must not silently skip
         # the reduction.
         raise NotImplementedError(f"unsupported subsampling factors ({h}, {v})")
-    # Pairwise strided adds (rows, then columns) lower ~4x faster on TPU
-    # than the 4-D reshape + two-axis reduction; int16 holds the <= 1020
-    # window sums. Values are identical: same windows, same floor mean.
+    # Pairwise strided adds over ROWS lower ~4x faster on TPU than the 4-D
+    # reshape + two-axis reduction; int16 holds the <= 1020 window sums.
+    # The COLUMN pairing must not use a strided lane slice: when a layout-
+    # sensitive consumer (the 4:2:2 scan marshal) sits downstream, XLA
+    # lowers x[:, 0::2] to gather + full-plane s16 transposes (~8 ms/batch,
+    # tools/exp_marshal422). Bitcasting adjacent int16 pairs to one int32
+    # keeps it elementwise: both halves are < 2^15, so low = w & 0xFFFF and
+    # high = w >> 16 recover the pair exactly. Values are identical either
+    # way: same windows, same floor mean.
     x = plane.astype(jnp.int16)
     if v == 2:
         x = x[0::2, :] + x[1::2, :]
     if h == 2:
-        x = x[:, 0::2] + x[:, 1::2]
+        hh, ww = x.shape
+        w32 = jax.lax.bitcast_convert_type(x.reshape(hh, ww // 2, 2), jnp.int32)
+        x = (w32 & 0xFFFF) + (w32 >> 16)
     averages = x.astype(jnp.int32) // (h * v)
     flat = averages.reshape(-1)
     n = geom.chroma_height * geom.chroma_width

@@ -277,13 +277,41 @@ def test_fused_kernel_single_chain_branch(rng):
     e = geom.num_scan_entries
     z = rng.integers(-200, 200, (e, 64)).astype(np.int16)
     z[:, 6:] = np.where(rng.random(z[:, 6:].shape) < 0.8, 0, z[:, 6:])
-    d = rng.integers(-300, 300, (e,)).astype(np.int32)
     cap = 1 << 14
     w1, b1 = entropy_pallas.encode_entropy_fused(
-        jnp.asarray(z), jnp.asarray(d), geom, cap, interpret=True)
+        jnp.asarray(z), geom, cap, interpret=True)
     w2, b2 = entropy_pallas.encode_entropy_fused(
-        jnp.asarray(z), jnp.asarray(d), geom, cap, interpret=True,
+        jnp.asarray(z), geom, cap, interpret=True,
         n_chains_override=1)
+    assert int(b1) == int(b2)
+    assert np.array_equal(np.asarray(w1), np.asarray(w2))
+
+
+@pytest.mark.parametrize("ratio", [(4, 4, 4), (4, 2, 2), (4, 2, 0)])
+def test_fused_kernel_dc_modes_identical(ratio, rng):
+    """dc_in_kernel=True (raw DC, kernel differences) and =False (XLA
+    merges precomputed diffs into slot 0) must be byte-identical — the
+    pipeline picks per ratio on emission-quality grounds only."""
+    import jax.numpy as jnp
+
+    from jpeg_encoder_tpu.config import EncoderConfig
+    from jpeg_encoder_tpu.kernels import entropy_pallas
+    from jpeg_encoder_tpu.ops import entropy
+
+    geom = EncoderConfig(subsampling_ratio=ratio).geometry(80, 48)
+    y = rng.integers(-300, 300, (geom.num_luma_blocks, 64)).astype(np.int16)
+    cb = rng.integers(-300, 300, (geom.num_chroma_blocks, 64)).astype(np.int16)
+    cr = rng.integers(-300, 300, (geom.num_chroma_blocks, 64)).astype(np.int16)
+    init = jnp.asarray([7, -3, 11], jnp.int32)
+    z, diff = entropy.marshal_scan_inputs(
+        jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr), geom, init,
+        coeffs_zigzagged=True, want_diff=True,
+    )
+    cap = 1 << 15
+    w1, b1 = entropy_pallas.encode_entropy_fused(
+        z, geom, cap, init_dc=init, interpret=True, dc_in_kernel=True)
+    w2, b2 = entropy_pallas.encode_entropy_fused(
+        z, geom, cap, interpret=True, dc_in_kernel=False, dc_diff=diff)
     assert int(b1) == int(b2)
     assert np.array_equal(np.asarray(w1), np.asarray(w2))
 
@@ -300,13 +328,12 @@ def test_fused_kernel_oct_merge_branch(rng):
     e = geom.num_scan_entries
     z = rng.integers(-200, 200, (e, 64)).astype(np.int16)
     z[:, 6:] = np.where(rng.random(z[:, 6:].shape) < 0.8, 0, z[:, 6:])
-    d = rng.integers(-300, 300, (e,)).astype(np.int32)
     cap = 1 << 14
     w1, b1 = entropy_pallas.encode_entropy_fused(
-        jnp.asarray(z), jnp.asarray(d), geom, cap, interpret=True)
+        jnp.asarray(z), geom, cap, interpret=True)
     for chains in (None, 1):
         w2, b2 = entropy_pallas.encode_entropy_fused(
-            jnp.asarray(z), jnp.asarray(d), geom, cap, interpret=True,
+            jnp.asarray(z), geom, cap, interpret=True,
             n_chains_override=chains, merge=4)
         assert int(b1) == int(b2)
         assert np.array_equal(np.asarray(w1), np.asarray(w2))

@@ -23,6 +23,10 @@ LOG=tools/chip_session.log
   timeout 1200 python tools/exp_dct_guarded.py
   echo "--- 3. bench.py guarded ---"
   JPEG_TPU_GUARDED_DCT=1 timeout 900 python bench.py
+  echo "--- 3b. bench.py oct-merge ---"
+  JPEG_TPU_KERNEL_MERGE=4 timeout 900 python bench.py
+  echo "--- 3c. bench.py guarded + oct-merge ---"
+  JPEG_TPU_GUARDED_DCT=1 JPEG_TPU_KERNEL_MERGE=4 timeout 900 python bench.py
   echo "--- 4a. profile_stages 4:4:4 ---"
   timeout 900 python tools/profile_stages.py 4:4:4
   echo "--- 4b. profile_stages 4:4:4 guarded ---"

@@ -170,11 +170,15 @@ def _kernel(
         finish(slot_bits, slot_lens)
         return
 
-    incl = slot_lens
-    k = 1
-    while k < 128:
-        incl = incl + ep._shift_lanes(incl, k, 0)
-        k *= 2
+    # Pair-local inclusive prefix: MXU triangular matmul (as production).
+    ii = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    tri = (ii <= jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)).astype(
+        jnp.bfloat16
+    )
+    incl = jnp.dot(
+        slot_lens.astype(jnp.bfloat16), tri,
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
     local_off = incl - slot_lens
     pair_bits = incl[:, 127:128]
 
@@ -194,11 +198,30 @@ def _kernel(
     word_idx = local_off >> 5
 
     contrib = hi + ep._shift_lanes(lo, 1, jnp.uint32(0))
-    cs = contrib
-    k = 1
-    while k < 128:
-        cs = cs + ep._shift_lanes(cs, k, jnp.uint32(0))
-        k *= 2
+    if stage == "pack_pre":
+        finish(contrib, word_idx, pair_bits)
+        return
+    if stage == "pack_csmm":
+        # Candidate: u32 prefix sum as four 8-bit-chunk MXU matmuls
+        # (each chunk < 256 is bf16-exact; f32 partials < 2^24; u32
+        # wraparound on recombine keeps differences exact).
+        cs = jnp.zeros_like(contrib)
+        for kk in range(4):
+            ck = (
+                ((contrib >> (8 * kk)) & 0xFF)
+                .astype(jnp.int32).astype(jnp.bfloat16)
+            )
+            csk = jnp.dot(ck, tri, preferred_element_type=jnp.float32)
+            cs = cs + (csk.astype(jnp.int32).astype(jnp.uint32) << (8 * kk))
+    else:
+        cs = contrib
+        k = 1
+        while k < 128:
+            cs = cs + ep._shift_lanes(cs, k, jnp.uint32(0))
+            k *= 2
+    if stage == "pack_cs":
+        finish(cs, word_idx, pair_bits)
+        return
     colw = lane
     sidx = jnp.zeros((t2, 128), jnp.int32)
     for step in (64, 32, 16, 8, 4, 2, 1):
@@ -212,7 +235,7 @@ def _kernel(
     lo_last = lo[:, 127:128]
     ew = acc | jnp.where(colw == w_last + 1, lo_last, 0)
 
-    if stage == "pack":
+    if stage in ("pack", "pack_csmm"):
         finish(ew, pair_bits)
         return
 
@@ -356,7 +379,7 @@ def main():
     d = jnp.asarray(rng.integers(-60, 60, (B, E)), jnp.int32)
     print(f"ratio {RATIO}, E={E}, tiles/img={-(-E // TILE)}")
     prev = 0.0
-    for stage in ("sym", "gather", "pack", "prep", "full"):
+    for stage in ("sym", "gather", "pack_pre", "pack_cs", "pack", "pack_csmm", "prep", "full"):
         f = jax.jit(functools.partial(
             lambda zz, dd, s: jax.vmap(lambda a, b: run_stage(a, b, s))(zz, dd),
             s=stage,

@@ -52,25 +52,35 @@ cr = jnp.asarray(
 
 
 def marshal_current(yc, cbc, crc):
-    z, d = entropy.marshal_scan_inputs(yc, cbc, crc, geom, None, True)
-    return z.reshape(E // 2, 128), d.astype(jnp.int32).reshape(E // 2, 2)
+    z, _ = entropy.marshal_scan_inputs(
+        yc, cbc, crc, geom, None, True, want_diff=False
+    )
+    return z.reshape(E // 2, 128)
 
 
 def marshal_pairs(yc, cbc, crc):
     """v==1, h==2 only: rows alternate [Y2k|Y2k+1], [Cb_k|Cr_k]."""
     y2 = yc.reshape(m, 128)
     cc = jnp.concatenate([cbc, crc], axis=1)  # (m, 128)
-    z2 = jnp.stack([y2, cc], axis=1).reshape(E // 2, 128)
-    dy = yc[:, 0].astype(jnp.int32)
-    dy = dy - jnp.concatenate([jnp.zeros((1,), jnp.int32), dy[:-1]])
-    db = cbc[:, 0].astype(jnp.int32)
-    db = db - jnp.concatenate([jnp.zeros((1,), jnp.int32), db[:-1]])
-    dr = crc[:, 0].astype(jnp.int32)
-    dr = dr - jnp.concatenate([jnp.zeros((1,), jnp.int32), dr[:-1]])
-    d2 = jnp.stack(
-        [jnp.stack([dy[0::2], dy[1::2]], 1), jnp.stack([db, dr], 1)], axis=1
-    ).reshape(E // 2, 2)
-    return z2, d2
+    return jnp.stack([y2, cc], axis=1).reshape(E // 2, 128)
+
+
+def marshal_cat2d(yc, cbc, crc):
+    """Row interleave as a LANE concat + free reshape: (m, 256) row-major
+    is exactly rows [y2[k], cc[k]] alternating."""
+    y2 = yc.reshape(m, 128)
+    return jnp.concatenate([y2, cbc, crc], axis=1).reshape(E // 2, 128)
+
+
+def marshal_cat2d_i32(yc, cbc, crc):
+    y2 = jax.lax.bitcast_convert_type(
+        yc.reshape(m, 64, 2), jnp.int32).reshape(m, 64)
+    cb2 = jax.lax.bitcast_convert_type(
+        cbc.reshape(m, 32, 2), jnp.int32).reshape(m, 32)
+    cr2 = jax.lax.bitcast_convert_type(
+        crc.reshape(m, 32, 2), jnp.int32).reshape(m, 32)
+    cat = jnp.concatenate([y2, cb2, cr2], axis=1).reshape(E // 2, 64)
+    return jax.lax.bitcast_convert_type(cat, jnp.int16).reshape(E // 2, 128)
 
 
 def timeit(name, fn, *args, iters=100):
@@ -85,17 +95,20 @@ def timeit(name, fn, *args, iters=100):
     return out
 
 
-za, da = timeit("marshal current", marshal_current, y, cb, cr)
+za = timeit("marshal current", marshal_current, y, cb, cr)
 if geom.v_factor == 1 and geom.h_factor == 2:
-    zf, df = timeit("marshal pair-rows", marshal_pairs, y, cb, cr)
-    print("z equal:", bool(jnp.all(za == zf)), " d equal:", bool(jnp.all(da == df)))
+    zf = timeit("marshal pair-rows", marshal_pairs, y, cb, cr)
+    print("z equal:", bool(jnp.all(za == zf)))
+    zc = timeit("marshal cat2d", marshal_cat2d, y, cb, cr)
+    print("z equal:", bool(jnp.all(za == zc)))
+    zi = timeit("marshal cat2d i32", marshal_cat2d_i32, y, cb, cr)
+    print("z equal:", bool(jnp.all(za == zi)))
 
     def full(mar):
         def g(yc, cbc, crc):
-            z2, d2 = mar(yc, cbc, crc)
+            z2 = mar(yc, cbc, crc)
             z = z2.reshape(E, 64)
-            d = d2.reshape(E)
-            _, bits = entropy_pallas.encode_entropy_fused(z, d, geom, cap)
+            _, bits = entropy_pallas.encode_entropy_fused(z, geom, cap)
             return bits
         def h(yy, cc_, rr):
             return jnp.sum(jax.vmap(g)(yy, cc_, rr))
@@ -104,3 +117,40 @@ if geom.v_factor == 1 and geom.h_factor == 2:
 
     timeit("marshal current + kernel", full(marshal_current), y, cb, cr)
     timeit("marshal pair-rows + kernel", full(marshal_pairs), y, cb, cr)
+    timeit("marshal cat2d + kernel", full(marshal_cat2d), y, cb, cr)
+    timeit("marshal cat2d i32 + kernel", full(marshal_cat2d_i32), y, cb, cr)
+
+    # ---- in-situ reproduction: marshal consuming the real DCT output ----
+    from jpeg_encoder_tpu.config import DctAlgorithm
+    from jpeg_encoder_tpu.ops import color, dct, sample
+
+    imgs = jnp.asarray(rng.integers(0, 256, (B, H, W, 3)), jnp.uint8)
+
+    def front(im):
+        yp, cbp, crp = color.rgb_to_ycbcr(im)
+        yp = sample.pad_plane(yp, geom)
+        cbp = sample.subsample_plane(sample.pad_plane(cbp, geom), geom)
+        crp = sample.subsample_plane(sample.pad_plane(crp, geom), geom)
+        return dct.dct_quantize_planes(
+            sample.blockify(yp), sample.blockify(cbp), sample.blockify(crp),
+            DctAlgorithm.REAL_DCT, False, zigzag_out=True)[:3]
+
+    def situ(mar, barrier):
+        def g(im):
+            yc, cbc, crc = front(im)
+            if barrier:
+                yc, cbc, crc = jax.lax.optimization_barrier((yc, cbc, crc))
+            z2 = mar(yc, cbc, crc)
+            _, bits = entropy_pallas.encode_entropy_fused(
+                z2.reshape(E, 64), geom, cap)
+            return bits
+        def h(ims):
+            return jnp.sum(jax.vmap(g)(ims))
+        h.__name__ = f"situ_{mar.__name__}_{barrier}"
+        return h
+
+    print("--- in situ (front + marshal + kernel) ---")
+    timeit("situ current", situ(marshal_current, False), imgs)
+    timeit("situ current + barrier", situ(marshal_current, True), imgs)
+    timeit("situ cat2d", situ(marshal_cat2d, False), imgs)
+    timeit("situ cat2d + barrier", situ(marshal_cat2d, True), imgs)

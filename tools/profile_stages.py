@@ -77,8 +77,8 @@ def front_dct(rgb):
 def marshal(y_z, cb_z, cr_z):
     """Shared scan-order marshalling (ops/entropy.marshal_scan_inputs)."""
     return entropy.marshal_scan_inputs(
-        y_z, cb_z, cr_z, geom, coeffs_zigzagged=True
-    )
+        y_z, cb_z, cr_z, geom, coeffs_zigzagged=True, want_diff=False
+    )[0]
 
 
 @jax.jit
@@ -97,8 +97,8 @@ def s2(rgb):
 @jax.jit
 def s3(rgb):
     y_z, cb_z, cr_z = jax.vmap(front_dct)(rgb)
-    z, d = jax.vmap(marshal)(y_z, cb_z, cr_z)
-    return jnp.sum(z.astype(jnp.int32)) + jnp.sum(d)
+    z = jax.vmap(marshal)(y_z, cb_z, cr_z)
+    return jnp.sum(z.astype(jnp.int32))
 
 
 @jax.jit
@@ -112,23 +112,23 @@ def s4(rgb):
 
 # Kernel alone on precomputed inputs.
 y_z, cb_z, cr_z = jax.jit(jax.vmap(front_dct))(images)
-zs, ds = jax.jit(jax.vmap(marshal))(y_z, cb_z, cr_z)
+zs = jax.jit(jax.vmap(marshal))(y_z, cb_z, cr_z)
 zs = jax.block_until_ready(zs)
 
 
 @jax.jit
-def k_only(zs, ds):
-    def one(z, d):
-        _, bits = entropy_pallas.encode_entropy_fused(z, d, geom, cap)
+def k_only(zs):
+    def one(z):
+        _, bits = entropy_pallas.encode_entropy_fused(z, geom, cap)
         return bits
-    return jnp.sum(jax.vmap(one)(zs, ds))
+    return jnp.sum(jax.vmap(one)(zs))
 
 
 t1 = timeit("color+pad+subsample", s1, images)
 t2 = timeit("+blockify+DCT+quant", s2, images)
 t3 = timeit("+marshal (scan order+dcdiff)", s3, images)
 t4 = timeit("full fused pipeline", s4, images)
-tk = timeit("fused kernel alone", k_only, zs, ds)
+tk = timeit("fused kernel alone", k_only, zs)
 print(f"\nincrements: dct={1e3*(t2-t1):.2f} marshal={1e3*(t3-t2):.2f} "
       f"kernel(in situ)={1e3*(t4-t3):.2f} kernel(alone)={1e3*tk:.2f}")
 print(f"Mpix/s full: {BATCH*H*W/t4/1e6:.1f}")

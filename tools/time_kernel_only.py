@@ -35,23 +35,23 @@ def front(im):
         sample.blockify(y), sample.blockify(cb), sample.blockify(cr),
         DctAlgorithm.REAL_DCT, False, zigzag_out=True)
     return entropy.marshal_scan_inputs(
-        y_z, cb_z, cr_z, geom, coeffs_zigzagged=True
-    )
+        y_z, cb_z, cr_z, geom, coeffs_zigzagged=True, want_diff=False
+    )[0]
 
 
-zs, ds = jax.jit(jax.vmap(front))(images)
+zs = jax.jit(jax.vmap(front))(images)
 zs = jax.block_until_ready(zs)
 
 
 @jax.jit
-def k_only(zs, ds):
-    def one(z, d):
-        _, bits = entropy_pallas.encode_entropy_fused(z, d, geom, cap)
+def k_only(zs):
+    def one(z):
+        _, bits = entropy_pallas.encode_entropy_fused(z, geom, cap)
         return bits
-    return jnp.sum(jax.vmap(one)(zs, ds))
+    return jnp.sum(jax.vmap(one)(zs))
 
 
-out = k_only(zs, ds)
+out = k_only(zs)
 _ = np.asarray(out)
 iters = 100
 t0 = time.perf_counter()
