@@ -187,9 +187,14 @@ class EncoderConfig:
     guarded_dct: bool = False
     # Run the RealDCT default path through the transposed-chain Pallas
     # kernel (kernels/dct_pallas.real_dct_quant_planes_zigzag_pallas_t)
-    # instead of the XLA ops chain. Bit-identical output; candidate hot
-    # path under hardware evaluation (see tools/exp_dct_chain_t.py).
-    transposed_dct: bool = False
+    # instead of the XLA ops chain. Bit-identical output. None = auto
+    # (currently: always the kernel): the Pallas chain's cost is stable
+    # (~80% of VPU ideal) while the XLA chain fusion's emitter windowing
+    # is bistable per program structure; with in-kernel DC differencing
+    # it measures 1529/1146/801 vs 1527/960/753 Mpix/s at
+    # 4:2:0/4:2:2/4:4:4 (tools/exp_dct_chain_t.py, chip_session.log r2).
+    # False forces the XLA ordered chain (the bit-exactness oracle path).
+    transposed_dct: bool | None = None
     # Check the reference's entropy-range invariants (DC difference category
     # <= 11, AC size <= 10 — panics in entropy_coding.rs:153-155,188-191)
     # and raise host-side before emitting a corrupt scan. Unreachable for

@@ -205,31 +205,36 @@ def real_dct_quant_zigzag_pallas_t(
     return out_t.T[:n]
 
 
+T_TILE = 1024  # blocks (lanes) per transposed-chain grid step
+
+
 def _realdct_t_planes_kernel(
-    x_ref, a_ref, b_ref, scale_ref, qy_ref, qc_ref, out_ref, *, tile, ny
+    x_ref, at_ref, bt_ref, sq_ref, out_ref, *, tile, ny
 ):
     """Transposed chain over the 3-plane concat: per-LANE quant select.
 
-    Blocks are lanes here, so the luma/chroma quantization split (the only
-    per-plane difference — see ops/dct.dct_quantize_planes) is a lane mask
-    applied between two (64, 1) quant columns."""
+    Blocks are LANES here: step k's pixel is a native sublane broadcast
+    (xt[k:k+1, :]) and the per-step basis constants are loop-invariant
+    (64, 1) lane slices of pre-transposed (64, 64) matrices — hoisted, no
+    per-step (1, 64) -> (64, 1) relayout (that relayout made the first
+    transposed kernel 2.5x slower than this form; tools/exp_dct_chain_t).
+    The luma/chroma quantization split (the only per-plane difference —
+    see ops/dct.dct_quantize_planes) is a lane mask between the qy and qc
+    columns of sq_ref; the division itself stays a real f32 `/` (the
+    bit-exactness contract rules out reciprocal-multiply)."""
     pid = pl.program_id(0)
-    xt = jnp.transpose(x_ref[:].astype(jnp.float32) - 128.0)  # (64, T)
+    xt = x_ref[:].astype(jnp.float32) - 128.0  # (64, T), pre-transposed
+    a_cols = [at_ref[:, k : k + 1] for k in range(64)]  # loop-invariant
+    b_cols = [bt_ref[:, k : k + 1] for k in range(64)]
     acc = jnp.zeros_like(xt)
     for k in range(64):
-        a_col = a_ref[k : k + 1, :].reshape(64, 1)
-        b_col = b_ref[k : k + 1, :].reshape(64, 1)
-        acc = acc + (xt[k : k + 1, :] * a_col) * b_col
-    s_col = scale_ref[0:1, :].reshape(64, 1)
+        acc = acc + (xt[k : k + 1, :] * a_cols[k]) * b_cols[k]
+    s_col = sq_ref[:, 0:1]
     is_luma = (
         pid * tile + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
     ) < ny
-    q = jnp.where(
-        is_luma, qy_ref[0:1, :].reshape(64, 1), qc_ref[0:1, :].reshape(64, 1)
-    )
-    out_ref[:] = jnp.transpose(
-        jnp.trunc((s_col * acc) / q).astype(jnp.int16)
-    )
+    q = jnp.where(is_luma, sq_ref[:, 1:2], sq_ref[:, 2:3])
+    out_ref[:] = jnp.trunc((s_col * acc) / q).astype(jnp.int16)
 
 
 def real_dct_quant_planes_zigzag_pallas_t(
@@ -239,35 +244,162 @@ def real_dct_quant_planes_zigzag_pallas_t(
     interpret: bool = False,
     quality: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """All three planes through ONE transposed-chain kernel (the candidate
-    replacement for ops/dct.dct_quantize_planes on the RealDCT default
-    path). (N, 64) uint8 x3 -> (N, 64) int16 zigzag coefficients x3."""
+    """All three planes through ONE transposed-chain kernel.
+
+    (N, 64) uint8 x3 -> (N, 64) int16 zigzag coefficients x3, bit-exact vs
+    ops/dct.real_dct_quant_ordered. The (64, N) transposes ride XLA
+    outside the kernel (measured cheaper and layout-stabler than in-VMEM
+    kernel transposes). Unlike the XLA ordered-chain fusion — whose
+    emitter windowing is bistable and program-structure-dependent (see
+    kernels/entropy_pallas.encode_entropy_fused docstring) — this kernel's
+    cost is stable: ~2.1 ms per 391680 blocks at T_TILE=1024, ~80% of the
+    VPU-bound ideal for the 192-flop/output ordered chain."""
+    xt, ny, nc, n = _plane_concat_t(y_blocks, cb_blocks, cr_blocks, T_TILE)
+    padded_n = xt.shape[1]
+    a, b, scale, qy = (
+        np.asarray(c) for c in _realdct_constants("y", quality)
+    )
+    qc = np.asarray(_realdct_constants("c", quality)[3])
+    at = jnp.asarray(a.T.copy())  # (uv, step) columns
+    bt = jnp.asarray(b.T.copy())
+    # scale / qy / qc as (64, 8) column blocks (lane-sliceable; 8-lane
+    # minor keeps the block spec tiling-friendly).
+    sq = np.zeros((64, 8), _F32)
+    sq[:, 0] = scale.reshape(64)
+    sq[:, 1] = qy.reshape(64)
+    sq[:, 2] = qc.reshape(64)
+    out_t = pl.pallas_call(
+        functools.partial(_realdct_t_planes_kernel, tile=T_TILE, ny=ny),
+        grid=(padded_n // T_TILE,),
+        in_specs=[
+            pl.BlockSpec((64, T_TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (64, T_TILE), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((64, padded_n), jnp.int16),
+        interpret=interpret,
+    )(xt, at, bt, jnp.asarray(sq))
+    out = out_t.T
+    return out[:ny], out[ny : ny + nc], out[ny + nc : n]
+
+
+def _plane_concat_t(y_blocks, cb_blocks, cr_blocks, tile):
+    """[Y; Cb; Cr] -> zero-padded (64, padded_n) int32, plus (ny, nc, n)."""
     ny, nc = y_blocks.shape[0], cb_blocks.shape[0]
     allb = jnp.concatenate([y_blocks, cb_blocks, cr_blocks], axis=0)
     n = allb.shape[0]
-    padded_n = -(-n // TILE) * TILE
+    padded_n = -(-n // tile) * tile
     x = jnp.zeros((padded_n, 64), jnp.int32).at[:n].set(allb.astype(jnp.int32))
-    a, b, scale, qy = (
-        jnp.asarray(c) for c in _realdct_constants("y", quality)
-    )
-    qc = jnp.asarray(_realdct_constants("c", quality)[3])
-    out = pl.pallas_call(
-        functools.partial(_realdct_t_planes_kernel, tile=TILE, ny=ny),
-        grid=(padded_n // TILE,),
+    return x.T, ny, nc, n
+
+
+def _lift8_rows(x: list[jnp.ndarray]) -> list[jnp.ndarray]:
+    """8-point all-lifting binDCT-C over eight (1, T) register rows.
+
+    Same shift/add network as ops/dct._bindct_lifting_1d (natural-order
+    output list); int32 >> is arithmetic, matching Rust
+    (dct_quant.rs:84-129)."""
+    x0, x1, x2, x3, x4, x5, x6, x7 = x
+    s7 = x0 - x7
+    s0 = x0 - (s7 >> 1)
+    s6 = x1 - x6
+    s1 = x1 - (s6 >> 1)
+    s5 = x2 - x5
+    s2 = x2 - (s5 >> 1)
+    s4 = x3 - x4
+    s3 = x3 - (s4 >> 1)
+    s6 = ((s5 * 3) >> 3) + s6
+    s5 = ((s6 * 5) >> 3) - s5
+    t0 = s0 + s3
+    t3 = s0 - s3
+    t1 = s1 + s2
+    t2 = s1 - s2
+    t4 = s4 + s5
+    t5 = s4 - s5
+    t6 = s7 - s6
+    t7 = s7 + s6
+    t4 = t4 - (t7 >> 3)
+    t0 = t0 + t1
+    t1 = -t1 + (t0 >> 1)
+    t2 = t2 - ((t3 * 3) >> 3)
+    t3 = t3 + ((t2 * 3) >> 3)
+    t5 = t5 + ((t6 * 7) >> 3)
+    t6 = t6 - (t5 >> 1)
+    return [t0, t7, t3, t6, t1, t5, t2, t4]
+
+
+def _bindct_t_planes_kernel(x_ref, q_ref, out_ref, *, tile, ny):
+    """Transposed-layout binDCT over the 3-plane concat.
+
+    Block positions are SUBLANES here, so every lifting input is a (1, T)
+    register row and the whole 2-D transform is register-resident shift/
+    add work — no (N, 8, 8) shapes (which pad 16x under the TPU's (8, 128)
+    tiling and made the XLA lifting fusion cost ~10.7 ms/batch at 4:4:4).
+    The zigzag permutation is free: outputs are assembled in zigzag
+    sublane order. Bit-identical to ops/dct.bin_dct_quant (bug-parity
+    un-descaled variant, dct_quant.rs:182-186)."""
+    pid = pl.program_id(0)
+    xt = x_ref[:] - 128                              # (64, T) int32
+    rows = [xt[i : i + 1, :] for i in range(64)]
+    mid = [None] * 64
+    for bx in range(8):                              # transform block rows
+        lifted = _lift8_rows([rows[8 * bx + y] for y in range(8)])
+        for j in range(8):
+            mid[8 * bx + j] = lifted[j]
+    fin = [None] * 64
+    for by in range(8):                              # transform block cols
+        lifted = _lift8_rows([mid[8 * bx + by] for bx in range(8)])
+        for j in range(8):
+            fin[8 * j + by] = lifted[j]
+    zz = [int(i) for i in tables.ZIGZAG_ORDER]
+    zigzagged = jnp.concatenate([fin[s] for s in zz], axis=0)  # (64, T)
+    is_luma = (
+        pid * tile + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+    ) < ny
+    q = jnp.where(is_luma, q_ref[:, 0:1], q_ref[:, 1:2])
+    out_ref[:] = (
+        jnp.sign(zigzagged) * (jnp.abs(zigzagged) // q)
+    ).astype(jnp.int16)
+
+
+def bin_dct_quant_planes_zigzag_pallas_t(
+    y_blocks: jnp.ndarray,
+    cb_blocks: jnp.ndarray,
+    cr_blocks: jnp.ndarray,
+    interpret: bool = False,
+    quality: int | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """All three planes through ONE transposed binDCT kernel.
+
+    (N, 64) uint8 x3 -> (N, 64) int16 zigzag coefficients x3, bit-exact
+    vs ops/dct.bin_dct_quant (reference bug-parity path)."""
+    xt, ny, nc, n = _plane_concat_t(y_blocks, cb_blocks, cr_blocks, T_TILE)
+    qy, _ = _bindct_constants("y", quality)
+    qc, _ = _bindct_constants("c", quality)
+    q = np.zeros((64, 8), np.int32)
+    q[:, 0] = qy.reshape(64)
+    q[:, 1] = qc.reshape(64)
+    padded_n = xt.shape[1]
+    out_t = pl.pallas_call(
+        functools.partial(_bindct_t_planes_kernel, tile=T_TILE, ny=ny),
+        grid=(padded_n // T_TILE,),
         in_specs=[
-            pl.BlockSpec((TILE, 64), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((64, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((64, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, T_TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (TILE, 64), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (64, T_TILE), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((padded_n, 64), jnp.int16),
+        out_shape=jax.ShapeDtypeStruct((64, padded_n), jnp.int16),
         interpret=interpret,
-    )(x, a, b, scale, qy, qc)
+    )(xt, jnp.asarray(q))
+    out = out_t.T
     return out[:ny], out[ny : ny + nc], out[ny + nc : n]
 
 

@@ -66,7 +66,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from jpeg_encoder_tpu import tables
 
-TILE = 1024       # entries per grid step (TILE // 2 kernel rows)
+TILE = 2048       # entries per grid step (TILE // 2 kernel rows)
 ENTRY_WORDS = 56    # worst-case words per entry (64 slots * 27 bits, +spill)
 # The VMEM-resident output block plus the chain accumulators are the only
 # capacity-proportional allocations. n_chains scales inversely with the
@@ -534,7 +534,7 @@ def encode_entropy_fused(
     # for merge-loop latency; spend a ~32 MB accumulator budget against
     # the compiler VMEM ceiling set below. Must be a power of two so the
     # round-robin covers every row (a non-divisor would drop tail rows).
-    n_chains = min(8, max(1, (32 * (1 << 20)) // capacity_bytes))
+    n_chains = min(16, max(1, (32 * (1 << 20)) // capacity_bytes))
     n_chains = 1 << (n_chains.bit_length() - 1)
     if n_chains_override is not None:
         n_chains = n_chains_override

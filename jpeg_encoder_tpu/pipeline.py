@@ -97,7 +97,7 @@ def encode_core(
     with_coeffs: bool = True,
     bin_dct_descale: bool = False,
     quality: int | None = None,
-    transposed_dct: bool = False,
+    transposed_dct: bool | None = None,
     guarded_dct: bool = False,
 ) -> dict[str, jnp.ndarray]:
     """(H, W, 3) uint8 -> packed entropy payload + quantized coefficients.
@@ -146,6 +146,15 @@ def encode_core(
         # un-permuted below either way. All three planes run through one
         # transform chain with a per-row quant-table select (bit-identical
         # to per-plane calls, one fusion instead of three).
+        if transposed_dct is None:
+            # Auto: the Pallas transposed chain is never slower than the
+            # XLA ordered-chain fusion (whose emitter windowing is
+            # bistable and program-structure-dependent) and — combined
+            # with in-kernel DC differencing — is decisively faster off
+            # the 4:2:0 path: 1529/1146/801 vs 1527/960/753 Mpix/s at
+            # 4:2:0/4:2:2/4:4:4 (chip_session.log r2).
+            transposed_dct = True
+        pallas_planes_dct = False
         if transposed_dct and algorithm == DctAlgorithm.REAL_DCT and not fast_dct:
             from jpeg_encoder_tpu.kernels import dct_pallas
 
@@ -153,6 +162,19 @@ def encode_core(
                 sample.blockify(y), sample.blockify(cb), sample.blockify(cr),
                 interpret=jax.default_backend() != "tpu", quality=quality,
             )
+            pallas_planes_dct = True
+        elif algorithm == DctAlgorithm.BIN_DCT and not bin_dct_descale:
+            # The register-resident transposed lifting kernel beats the XLA
+            # lifting fusion at every ratio (its (N, 8, 8) shapes pad 16x
+            # under TPU tiling): 1427/1078/742 vs 1361/1025/679 Mpix/s
+            # e2e at 4:2:0/4:2:2/4:4:4 (chip_session.log r2).
+            from jpeg_encoder_tpu.kernels import dct_pallas
+
+            y_z, cb_z, cr_z = dct_pallas.bin_dct_quant_planes_zigzag_pallas_t(
+                sample.blockify(y), sample.blockify(cb), sample.blockify(cr),
+                interpret=jax.default_backend() != "tpu", quality=quality,
+            )
+            pallas_planes_dct = True
         else:
             y_z, cb_z, cr_z, dct_overflow = dct.dct_quantize_planes(
                 sample.blockify(y), sample.blockify(cb), sample.blockify(cr),
@@ -160,9 +182,14 @@ def encode_core(
                 bin_dct_descale=bin_dct_descale, quality=quality,
                 guarded_dct=guarded_dct,
             )
+        # The XLA-side DC merge exists only to flip the REAL ordered-chain
+        # fusion's emitter windowing at 4:2:2; when a Pallas kernel
+        # produced the coefficients there is no chain fusion in the
+        # program and in-kernel DC is strictly better (ops/entropy).
         payload, total_bits = entropy.encode_scan(
             y_z, cb_z, cr_z, geom, capacity_bytes, coeffs_zigzagged=True,
             packer=packer,
+            dc_in_kernel=True if pallas_planes_dct else None,
         )
     result = {"payload": payload, "total_bits": total_bits,
               "dct_overflow": dct_overflow}
@@ -191,7 +218,7 @@ def compiled_encoder(
     with_coeffs: bool = False,
     bin_dct_descale: bool = False,
     quality: int | None = None,
-    transposed_dct: bool = False,
+    transposed_dct: bool | None = None,
     guarded_dct: bool = False,
 ):
     """Jitted encode_core for one static configuration (cached)."""

@@ -70,6 +70,63 @@ for name, o in (("pallas", o_pl), ("transposed A", o_tk), ("pre-T B", o_tx)):
         eq = bool(jnp.all(o_ops.astype(jnp.int32) == o.astype(jnp.int32)))
         print(f"{name} bit-equal vs ops: {eq}")
 
+# --- variant C: transposed chain, constants pre-transposed to (64, 64)
+# COLUMNS (column k = step k), sliced as (64,1) lane slices and hoisted
+# out of the step loop -- no per-step (1,64)->(64,1) relayout. T swept. ---
+from jax.experimental import pallas as pl  # noqa: E402
+from jax.experimental.pallas import tpu as pltpu  # noqa: E402
+
+
+def _chain_tc_kernel(x_ref, at_ref, bt_ref, scale_ref, quant_ref, out_ref,
+                     *, tt):
+    xt = x_ref[:].astype(jnp.float32) - 128.0  # (64, T), pre-transposed
+    a_cols = [at_ref[:, k : k + 1] for k in range(64)]   # loop-invariant
+    b_cols = [bt_ref[:, k : k + 1] for k in range(64)]
+    acc = jnp.zeros_like(xt)
+    for k in range(64):
+        acc = acc + (xt[k : k + 1, :] * a_cols[k]) * b_cols[k]
+    s_col = scale_ref[:, 0:1]
+    q_col = quant_ref[:, 0:1]
+    out_ref[:] = jnp.trunc((s_col * acc) / q_col).astype(jnp.int32)
+
+
+def chain_tc(blocks_u8, tt):
+    import functools as ft
+    n = blocks_u8.shape[0]
+    padded_n = -(-n // tt) * tt
+    x = jnp.zeros((padded_n, 64), jnp.int32).at[:n].set(
+        blocks_u8.astype(jnp.int32))
+    a, b, scale, quant = (
+        np.asarray(c) for c in dct_pallas._realdct_constants("y", None))
+    at = jnp.asarray(a.T.copy())            # (64 uv?, 64 steps) columns
+    bt = jnp.asarray(b.T.copy())
+    sc = jnp.asarray(np.repeat(scale.T, 8, axis=1))   # (64, 8) cols
+    qc = jnp.asarray(np.repeat(quant.T, 8, axis=1))
+    xt = x.T
+    out_t = pl.pallas_call(
+        ft.partial(_chain_tc_kernel, tt=tt),
+        grid=(padded_n // tt,),
+        in_specs=[
+            pl.BlockSpec((64, tt), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (64, tt), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((64, padded_n), jnp.int32),
+    )(xt, at, bt, sc, qc)
+    return out_t.T[:n]
+
+
+for tt in (256, 512, 1024, 2048):
+    f_c = jax.jit(lambda b, t=tt: chain_tc(b, t))
+    o_c = timeit(f"pre-T C (T={tt})", f_c)
+    if o_c is not None and o_ops is not None:
+        eq = bool(jnp.all(o_ops.astype(jnp.int32) == o_c.astype(jnp.int32)))
+        print(f"  C T={tt} bit-equal vs ops: {eq}")
+
 # --- the production comparison: 3-plane fusion, ops chain vs transposed ---
 from jpeg_encoder_tpu.config import DctAlgorithm  # noqa: E402
 

@@ -56,7 +56,7 @@ _ = np.asarray(out)
 iters = 100
 t0 = time.perf_counter()
 for _ in range(iters):
-    out = k_only(zs, ds)
+    out = k_only(zs)
 _ = np.asarray(out)
 dt = (time.perf_counter() - t0) / iters
 label = sys.argv[1] if len(sys.argv) > 1 else "kernel"
