@@ -147,13 +147,16 @@ def encode_core(
         # transform chain with a per-row quant-table select (bit-identical
         # to per-plane calls, one fusion instead of three).
         if transposed_dct is None:
-            # Auto: the Pallas transposed chain is never slower than the
-            # XLA ordered-chain fusion (whose emitter windowing is
-            # bistable and program-structure-dependent) and — combined
+            # Auto (TPU): the Pallas transposed chain is never slower
+            # than the XLA ordered-chain fusion (whose emitter windowing
+            # is bistable and program-structure-dependent) and — combined
             # with in-kernel DC differencing — is decisively faster off
             # the 4:2:0 path: 1529/1146/801 vs 1527/960/753 Mpix/s at
-            # 4:2:0/4:2:2/4:4:4 (chip_session.log r2).
-            transposed_dct = True
+            # 4:2:0/4:2:2/4:4:4 (chip_session.log r2). On CPU backends
+            # the kernels only run in interpret mode (slow, for parity
+            # tests), so the XLA chains stay the default there; both
+            # sides are bit-exact, so outputs are identical either way.
+            transposed_dct = jax.default_backend() == "tpu"
         pallas_planes_dct = False
         if transposed_dct and algorithm == DctAlgorithm.REAL_DCT and not fast_dct:
             from jpeg_encoder_tpu.kernels import dct_pallas
@@ -163,7 +166,11 @@ def encode_core(
                 interpret=jax.default_backend() != "tpu", quality=quality,
             )
             pallas_planes_dct = True
-        elif algorithm == DctAlgorithm.BIN_DCT and not bin_dct_descale:
+        elif (
+            transposed_dct
+            and algorithm == DctAlgorithm.BIN_DCT
+            and not bin_dct_descale
+        ):
             # The register-resident transposed lifting kernel beats the XLA
             # lifting fusion at every ratio (its (N, 8, 8) shapes pad 16x
             # under TPU tiling): 1427/1078/742 vs 1361/1025/679 Mpix/s

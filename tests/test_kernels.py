@@ -115,3 +115,40 @@ def test_transposed_dct_config_end_to_end(rng):
             rgb, EncoderConfig(quality=q, transposed_dct=True)
         )
         assert base.file_bytes == t.file_bytes
+
+
+def test_transposed_planes_bindct_matches_ops(rng):
+    """The 3-plane transposed binDCT kernel (register-resident lifting)
+    must be bit-identical to ops/dct.dct_quantize_planes on the
+    bug-parity binDCT path, including the per-lane quant select and the
+    zigzag assembly order."""
+    import jax.numpy as jnp
+
+    y = jnp.asarray(rng.integers(0, 256, (600, 64), dtype=np.uint8))
+    cb = jnp.asarray(rng.integers(0, 256, (150, 64), dtype=np.uint8))
+    cr = jnp.asarray(rng.integers(0, 256, (150, 64), dtype=np.uint8))
+    for q in (None, 35):
+        want = dct.dct_quantize_planes(
+            y, cb, cr, DctAlgorithm.BIN_DCT, zigzag_out=True, quality=q
+        )[:3]
+        got = dct_pallas.bin_dct_quant_planes_zigzag_pallas_t(
+            y, cb, cr, interpret=True, quality=q
+        )
+        for w, g in zip(want, got):
+            assert np.array_equal(
+                np.asarray(w).astype(np.int32), np.asarray(g).astype(np.int32)
+            )
+
+
+def test_transposed_dct_config_end_to_end_bindct(rng):
+    """transposed_dct=True with BIN_DCT routes through the transposed
+    lifting kernel and must stay byte-identical to the default path."""
+    rgb = rng.integers(0, 256, size=(40, 56, 3), dtype=np.uint8)
+    base = pipeline.encode_array(
+        rgb, EncoderConfig(dct_algorithm=DctAlgorithm.BIN_DCT)
+    )
+    t = pipeline.encode_array(
+        rgb,
+        EncoderConfig(dct_algorithm=DctAlgorithm.BIN_DCT, transposed_dct=True),
+    )
+    assert base.file_bytes == t.file_bytes
