@@ -63,10 +63,12 @@ def main() -> None:
                                    (BATCH, HEIGHT, WIDTH, 3)) * 0.1
         return ((img * 0.9 + noise) * 255).astype(jnp.uint8)
 
-    # Dev A/B knobs: JPEG_TPU_TRANSPOSED_DCT=1 swaps the RealDCT chain for
-    # the transposed-chain Pallas kernel; JPEG_TPU_GUARDED_DCT=1 runs the
-    # guarded matmul+repair RealDCT (both byte-identical output).
-    transposed_dct = os.environ.get("JPEG_TPU_TRANSPOSED_DCT") == "1"
+    # Dev A/B knobs (byte-identical output): JPEG_TPU_TRANSPOSED_DCT=0/1
+    # forces the XLA chain / transposed-chain Pallas kernel (unset: the
+    # production auto default — the Pallas kernel on TPU);
+    # JPEG_TPU_GUARDED_DCT=1 runs the guarded matmul+repair RealDCT.
+    _tdct_env = os.environ.get("JPEG_TPU_TRANSPOSED_DCT")
+    transposed_dct = None if _tdct_env is None else _tdct_env == "1"
     guarded_dct = os.environ.get("JPEG_TPU_GUARDED_DCT") == "1"
 
     def encode_batch(images):
