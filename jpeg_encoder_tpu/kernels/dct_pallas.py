@@ -223,7 +223,8 @@ def _realdct_t_planes_kernel(
     columns of sq_ref; the division itself stays a real f32 `/` (the
     bit-exactness contract rules out reciprocal-multiply)."""
     pid = pl.program_id(0)
-    xt = x_ref[:].astype(jnp.float32) - 128.0  # (64, T), pre-transposed
+    # i16 -> i32 -> f32 (Mosaic has no direct i16->f32 vector cast).
+    xt = x_ref[:].astype(jnp.int32).astype(jnp.float32) - 128.0  # (64, T)
     a_cols = [at_ref[:, k : k + 1] for k in range(64)]  # loop-invariant
     b_cols = [bt_ref[:, k : k + 1] for k in range(64)]
     acc = jnp.zeros_like(xt)
@@ -289,12 +290,16 @@ def real_dct_quant_planes_zigzag_pallas_t(
 
 
 def _plane_concat_t(y_blocks, cb_blocks, cr_blocks, tile):
-    """[Y; Cb; Cr] -> zero-padded (64, padded_n) int32, plus (ny, nc, n)."""
+    """[Y; Cb; Cr] -> zero-padded (64, padded_n) int16, plus (ny, nc, n).
+
+    int16 transport halves the pad + XLA-transpose traffic vs int32
+    (u8 itself is out: Mosaic cannot cast u8 inside the kernel, and u8
+    transposes pick poor layouts); the kernels widen in VMEM."""
     ny, nc = y_blocks.shape[0], cb_blocks.shape[0]
     allb = jnp.concatenate([y_blocks, cb_blocks, cr_blocks], axis=0)
     n = allb.shape[0]
     padded_n = -(-n // tile) * tile
-    x = jnp.zeros((padded_n, 64), jnp.int32).at[:n].set(allb.astype(jnp.int32))
+    x = jnp.zeros((padded_n, 64), jnp.int16).at[:n].set(allb.astype(jnp.int16))
     return x.T, ny, nc, n
 
 
@@ -344,7 +349,7 @@ def _bindct_t_planes_kernel(x_ref, q_ref, out_ref, *, tile, ny):
     sublane order. Bit-identical to ops/dct.bin_dct_quant (bug-parity
     un-descaled variant, dct_quant.rs:182-186)."""
     pid = pl.program_id(0)
-    xt = x_ref[:] - 128                              # (64, T) int32
+    xt = x_ref[:].astype(jnp.int32) - 128            # (64, T)
     rows = [xt[i : i + 1, :] for i in range(64)]
     mid = [None] * 64
     for bx in range(8):                              # transform block rows
