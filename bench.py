@@ -63,22 +63,19 @@ def main() -> None:
                                    (BATCH, HEIGHT, WIDTH, 3)) * 0.1
         return ((img * 0.9 + noise) * 255).astype(jnp.uint8)
 
-    # Dev A/B knobs (byte-identical output): JPEG_TPU_TRANSPOSED_DCT=0/1
+    # Dev A/B knob (byte-identical output): JPEG_TPU_TRANSPOSED_DCT=0/1
     # forces the XLA chain / transposed-chain Pallas kernel (unset: the
-    # production auto default — the Pallas kernel on TPU);
-    # JPEG_TPU_GUARDED_DCT=1 runs the guarded matmul+repair RealDCT.
+    # production auto default — the Pallas kernel on TPU).
     _tdct_env = os.environ.get("JPEG_TPU_TRANSPOSED_DCT")
     transposed_dct = None if _tdct_env is None else _tdct_env == "1"
-    guarded_dct = os.environ.get("JPEG_TPU_GUARDED_DCT") == "1"
 
     def encode_batch(images):
         def one(rgb):
             out = pipeline.encode_core(
                 rgb, geom, DctAlgorithm.REAL_DCT, capacity, fast_dct=False,
                 with_coeffs=False, transposed_dct=transposed_dct,
-                guarded_dct=guarded_dct,
             )
-            return out["payload"], out["total_bits"], out["dct_overflow"]
+            return out["payload"], out["total_bits"]
         return jax.vmap(one)(images)
 
     make_batch = jax.jit(make_batch, static_argnums=0)
@@ -90,12 +87,9 @@ def main() -> None:
 
     images = jax.block_until_ready(make_batch(0))
     t0 = time.perf_counter()
-    payloads, bits, dct_over = jax.block_until_ready(encode(images))
+    payloads, bits = jax.block_until_ready(encode(images))
     log(f"first call (incl. compile): {time.perf_counter() - t0:.2f}s, "
         f"mean payload {float(jnp.mean(bits)) / 8 / 1024:.1f} KiB")
-    if guarded_dct:
-        log(f"guarded DCT repair overflow: {bool(jnp.any(dct_over))} "
-            f"(True would force a production fallback re-encode)")
     assert int(jnp.max(bits)) <= 8 * capacity, (
         "benchmark payload overflowed the capacity estimate; a production "
         "encode would retry with pipeline.next_capacity_bytes"

@@ -176,15 +176,6 @@ class EncoderConfig:
     # to None. Extension beyond the reference (its tables are fixed;
     # jpeg_theory.md:162 lists quality scaling as unimplemented).
     quality: int | None = None
-    # Run the reference-parity RealDCT through the guarded matmul+repair
-    # path (ops/dct.real_dct_quant_guarded): a cheap MXU Kronecker matmul
-    # plus a sound per-coefficient error radius; only blocks where a
-    # truncation boundary falls inside the radius re-run the exact ordered
-    # chain. Bit-identical output (the pipeline falls back to the full
-    # chain on repair-capacity overflow). Opt-in: the repair
-    # gather/scatter currently costs more than the chain it avoids on
-    # v5e (tools/exp_dct_guarded.py), so the default stays the chain.
-    guarded_dct: bool = False
     # Run the RealDCT default path through the transposed-chain Pallas
     # kernel (kernels/dct_pallas.real_dct_quant_planes_zigzag_pallas_t)
     # instead of the XLA ops chain. Bit-identical output. None = auto

@@ -108,143 +108,13 @@ def real_dct_quant(
     return jnp.trunc(coeffs / q_rows).astype(jnp.int16)
 
 
-# Guard constant for real_dct_quant_guarded: the summed worst-case rounding
-# constants of the ordered chain (63 adds), the HIGHEST-precision matmul
-# (<= 64 f32 accumulations of exactly-split bf16 products), and term
-# formation (2 roundings/term) come to ~130 * eps * S; 512 keeps a ~4x
-# margin. Raising it only grows the repair set (never misses).
-_GUARD_C = np.float32(512.0)
-_EPS32 = np.float32(2.0**-24)
-_HIGHEST = jax.lax.Precision.HIGHEST
-
-
-def real_dct_quant_guarded(
-    blocks_u8: jnp.ndarray,
-    quant: np.ndarray | None,
-    zigzag_out: bool = False,
-    q_rows: jnp.ndarray | None = None,
-    segment: int = 64,
-    quota: int = 16,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Bit-identical to `real_dct_quant_ordered`, cheaper on TPU.
-
-    The ordered chain's 192 VPU flops/coefficient exist only to replicate
-    the reference's f32 accumulation order (dct_quant.rs:217-225). But the
-    exact order can only matter where it changes the TRUNCATED quotient —
-    and that is provable per coefficient: compute the cheap MXU Kronecker
-    matmul `m`, a per-coefficient magnitude sum S = |p| @ |K| (second
-    matmul), and a sound radius C*eps*S + 4*eps*|m/q| bounding
-    |chain - matmul| through the division. Any f32 summation order of the
-    64 terms t_k differs from the true sum by <= 63*eps*S (every partial
-    sum is bounded by S); term formation adds <= 2*eps*S; XLA's HIGHEST
-    f32 matmul (exact bf16 hi/lo splits, f32 accumulation) obeys the same
-    class of bound. Blocks where a truncation boundary (any NONZERO
-    integer: trunc's cell around 0 is the open interval (-1, 1)) falls
-    inside the radius — measured 7-9% on photographic and uniform-noise
-    content, MISSED=0 (tools/exp_dct_guarded.py) — are re-run through the
-    exact chain.
-
-    The repair machinery is deliberately gather/scatter/sort-free (TPU
-    scatters serialize): blocks are grouped into fixed `segment`-sized
-    groups, each with a static repair `quota`. Within a group, risky
-    blocks get a dense rank from a triangular-ones matmul; compaction
-    into the (groups, quota, 64) chain input and the write-back of
-    repaired rows are both one-hot batched matmuls (MXU work, exact at
-    HIGHEST precision). The chain therefore runs on a quota/segment
-    fraction of the blocks regardless of content.
-
-    Returns (coeffs int16 (N, 64), overflowed bool scalar). When any
-    group holds more than `quota` risky blocks the excess is NOT
-    repaired and `overflowed` is True: the caller must re-encode with
-    the plain ordered chain (pipeline treats it like a capacity-ladder
-    retry — an in-graph lax.cond fallback would turn into a
-    both-branches select under vmap and erase the win on the batch
-    path).
-    """
-    assert 1 <= quota <= segment
-    n = blocks_u8.shape[0]
-    n_pad = -(-n // segment) * segment
-    if n_pad != n:
-        # Pad with uniform-128 blocks: level-shifted 0 everywhere, every
-        # coefficient exactly 0.0 in any summation order — never risky.
-        blocks_u8 = jnp.concatenate(
-            [blocks_u8, jnp.full((n_pad - n, 64), 128, blocks_u8.dtype)]
-        )
-    k = dct_kron_matrix()
-    if zigzag_out:
-        from jpeg_encoder_tpu import tables
-
-        k = k[:, tables.ZIGZAG_ORDER]
-    if q_rows is None:
-        q_rows = _default_q_rows(quant, zigzag_out)
-    per_block_q = q_rows.ndim == 2 and q_rows.shape[0] == n
-    if per_block_q and n_pad != n:
-        q_rows = jnp.concatenate(
-            [q_rows, jnp.ones((n_pad - n, 64), q_rows.dtype)]
-        )
-
-    shifted = level_shift(blocks_u8).astype(jnp.float32)
-    m = jnp.dot(shifted, jnp.asarray(k),
-                preferred_element_type=jnp.float32, precision=_HIGHEST)
-    s = jnp.dot(jnp.abs(shifted), jnp.asarray(np.abs(k)),
-                preferred_element_type=jnp.float32, precision=_HIGHEST)
-    qm = m / q_rows
-    qr = (_GUARD_C * _EPS32 * s) / q_rows + 4 * _EPS32 * jnp.abs(qm)
-    t = jnp.trunc(qm)
-
-    def near(b):
-        return (jnp.abs(qm - b) <= qr) & (b != 0)
-
-    risky = jnp.any(near(t) | near(t + 1) | near(t - 1), axis=1)
-    mq = t.astype(jnp.int16)
-
-    ngrp = n_pad // segment
-    r = risky.reshape(ngrp, segment)
-    rf = r.astype(jnp.float32)
-    # Inclusive risky count up to each slot: one triangular matmul (counts
-    # <= segment << 2^24, exact in f32).
-    tri = jnp.asarray(np.tril(np.ones((segment, segment), np.float32)))
-    incl = jnp.dot(rf, tri.T, preferred_element_type=jnp.float32,
-                   precision=_HIGHEST)
-    rank = (incl - rf).astype(jnp.int32)          # exclusive rank
-    counts = incl[:, segment - 1]
-    overflowed = jnp.max(counts) > quota
-
-    # One-hot (group, quota, segment): slot l feeds chain input q of its
-    # group iff it is risky with rank q. Rows sum to <= 1, so both
-    # batched matmuls below move values exactly (HIGHEST keeps full f32).
-    oh = (
-        (rank[:, None, :] == jnp.arange(quota)[None, :, None])
-        & r[:, None, :]
-    ).astype(jnp.float32)
-    blk3 = blocks_u8.reshape(ngrp, segment, 64).astype(jnp.float32)
-    gathered = jax.lax.dot_general(
-        oh, blk3, (((2,), (1,)), ((0,), (0,))), precision=_HIGHEST
-    ).astype(jnp.uint8).reshape(ngrp * quota, 64)
-    if per_block_q:
-        q3 = q_rows.reshape(ngrp, segment, 64).astype(jnp.float32)
-        qg = jax.lax.dot_general(
-            oh, q3, (((2,), (1,)), ((0,), (0,))), precision=_HIGHEST
-        ).reshape(ngrp * quota, 64)
-        # Empty chain slots (no rank-q risky block) got all-zero rows;
-        # any nonzero divisor keeps them finite (results are discarded).
-        qg = jnp.where(qg == 0, 1.0, qg)
-    else:
-        qg = q_rows
-    repaired = real_dct_quant_ordered(
-        gathered, quant=None, zigzag_out=zigzag_out, q_rows=qg
-    )
-    rep3 = repaired.reshape(ngrp, quota, 64).astype(jnp.float32)
-    picked = jax.lax.dot_general(
-        oh, rep3, (((1,), (1,)), ((0,), (0,))), precision=_HIGHEST
-    )  # (ngrp, segment, 64); zero rows where not repaired
-    use = r & (rank < quota)
-    out = jnp.where(
-        use.reshape(n_pad)[:, None],
-        picked.reshape(n_pad, 64).astype(jnp.int16),
-        mq,
-    )
-    return out[:n], overflowed
+# A "guarded" RealDCT (MXU Kronecker matmul + sound per-coefficient error
+# radius + exact-chain repair of boundary-risk blocks) was built and measured
+# in rounds 1-2 (tools/chip_session.log): bit-identical to the ordered chain,
+# but the repair machinery (one-hot matmul compaction; a gather rework was 2x
+# worse) cost more than the chain it avoided on v5e, and the transposed-layout
+# Pallas chain (kernels/dct_pallas.py) has since beaten both. Removed; see
+# chip_session.log r1 sections 2-4 and r3 for the measurements.
 
 
 def dct_quantize_planes(
@@ -256,8 +126,7 @@ def dct_quantize_planes(
     zigzag_out: bool = False,
     bin_dct_descale: bool = False,
     quality: int | None = None,
-    guarded_dct: bool = False,
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """All three planes through ONE transform chain (measured ~1 ms/batch
     faster than three separate fusions at 1080p).
 
@@ -266,17 +135,8 @@ def dct_quantize_planes(
     quality-scaled when `quality` is set). The per-lane arithmetic is
     identical to the per-plane calls (bit-exact).
 
-    RealDCT default is the ordered chain (reference accumulation order);
-    `guarded_dct=True` opts into the matmul+repair path
-    (real_dct_quant_guarded, bit-identical when it does not overflow its
-    repair capacity) — measured SLOWER than the chain on v5e as currently
-    implemented (tools/exp_dct_guarded.py: repair gather/scatter
-    dominates), so it stays opt-in until the repair path is cheap.
-
-    Returns (y, cb, cr, dct_overflow): the last is a traced bool scalar,
-    True only when the guarded path could not repair every risky block
-    (caller must re-encode with guarded_dct=False); constant False on
-    every other path.
+    RealDCT default is the ordered chain (reference accumulation order).
+    Returns (y, cb, cr).
     """
     from jpeg_encoder_tpu import tables
 
@@ -293,16 +153,11 @@ def dct_quantize_planes(
             qc = qc[tables.ZIGZAG_ORDER]
         return jnp.where(is_y, jnp.asarray(qy)[None, :], jnp.asarray(qc)[None, :])
 
-    overflow = jnp.zeros((), bool)
     if algorithm == DctAlgorithm.REAL_DCT:
         q = per_row_q(q_luma, q_chroma, np.float32)
         if fast_dct:
             out = real_dct_quant(allb, quant=None, zigzag_out=zigzag_out,
                                  q_rows=q)
-        elif guarded_dct:
-            out, overflow = real_dct_quant_guarded(
-                allb, quant=None, zigzag_out=zigzag_out, q_rows=q
-            )
         else:
             out = real_dct_quant_ordered(allb, quant=None,
                                          zigzag_out=zigzag_out, q_rows=q)
@@ -319,7 +174,7 @@ def dct_quantize_planes(
         out = _trunc_div_int(work, q).astype(jnp.int16)
         if zigzag_out:
             out = out[:, tables.ZIGZAG_ORDER]
-    return out[:ny], out[ny : ny + nc], out[ny + nc :], overflow
+    return out[:ny], out[ny : ny + nc], out[ny + nc :]
 
 
 def real_dct_quant_ordered(

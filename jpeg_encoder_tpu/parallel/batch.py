@@ -9,7 +9,6 @@ on its own chip; the only cross-device traffic is the result fetch.
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 
 import jax
@@ -33,7 +32,6 @@ def compiled_batch_encoder(
     fast_dct: bool = False,
     bin_dct_descale: bool = False,
     quality: int | None = None,
-    guarded_dct: bool = False,
 ):
     """Jitted (B, H, W, 3) -> ((B, capacity) payloads, (B,) bit lengths)."""
 
@@ -41,9 +39,8 @@ def compiled_batch_encoder(
         out = pipeline.encode_core(
             rgb, geom, algorithm, capacity_bytes, fast_dct,
             bin_dct_descale=bin_dct_descale, quality=quality,
-            guarded_dct=guarded_dct,
         )
-        return out["payload"], out["total_bits"], out["dct_overflow"]
+        return out["payload"], out["total_bits"]
 
     def per_shard(batch):  # (B_local, H, W, 3)
         return jax.vmap(per_image)(batch)
@@ -52,7 +49,7 @@ def compiled_batch_encoder(
         per_shard,
         mesh=mesh,
         in_specs=P(DATA_AXIS),
-        out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
         # Pallas outputs don't carry vma metadata; every kernel here is
         # shard-local, so the varying-mesh-axes check adds nothing.
         check_vma=False,
@@ -87,37 +84,28 @@ def encode_batch(
     device_images = jnp.asarray(images)
     encoder = compiled_batch_encoder(
         mesh, geom, config.dct_algorithm, capacity, config.fast_dct,
-        config.bin_dct_descale, config.quality, config.guarded_dct,
+        config.bin_dct_descale, config.quality,
     )
-    payloads, bit_lengths, dct_over = encoder(device_images)
+    payloads, bit_lengths = encoder(device_images)
     bit_lengths = np.asarray(bit_lengths)
     payloads = np.asarray(payloads)
-    dct_over = np.asarray(dct_over)
 
     files = []
     header = jfif.header_bytes(geom, config.quality)
     for i in range(batch):
         bits = int(bit_lengths[i])
-        if bits > 8 * capacity or bool(dct_over[i]):
-            # This image overflowed the shared capacity estimate (or the
-            # guarded DCT's repair capacity). Re-encode only it through the
-            # single-image path (same program semantics, so the payload is
-            # byte-identical) — encode_array handles both ladders; start at
-            # the next capacity rung only for a true payload overflow.
-            # Re-running the whole batch at 8x capacity would inflate every
-            # member's buffer toward the fused kernel's VMEM ceiling for
-            # one pathological image.
-            start_cap = (
-                pipeline.next_capacity_bytes(geom, capacity)
-                if bits > 8 * capacity else capacity
-            )
-            retry_config = (
-                dataclasses.replace(config, guarded_dct=False)
-                if bool(dct_over[i]) else config
-            )
+        if bits > 8 * capacity:
+            # This image overflowed the shared capacity estimate. Re-encode
+            # only it through the single-image path (same program semantics,
+            # so the payload is byte-identical), starting at the next
+            # capacity rung. Re-running the whole batch at 8x capacity would
+            # inflate every member's buffer toward the fused kernel's VMEM
+            # ceiling for one pathological image.
             result = pipeline.encode_array(
-                np.asarray(images[i]), retry_config,
-                _initial_capacity_bytes=start_cap,
+                np.asarray(images[i]), config,
+                _initial_capacity_bytes=pipeline.next_capacity_bytes(
+                    geom, capacity
+                ),
             )
             files.append(result.file_bytes)
             continue

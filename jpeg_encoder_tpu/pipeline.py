@@ -98,7 +98,6 @@ def encode_core(
     bin_dct_descale: bool = False,
     quality: int | None = None,
     transposed_dct: bool | None = None,
-    guarded_dct: bool = False,
 ) -> dict[str, jnp.ndarray]:
     """(H, W, 3) uint8 -> packed entropy payload + quantized coefficients.
 
@@ -107,12 +106,6 @@ def encode_core(
     into its constants) feeding the scan encoder gather-free; coefficient
     outputs are un-permuted to natural order, and with_coeffs=False drops
     them so callers that only want the bitstream skip that work.
-
-    With guarded_dct=True the RealDCT runs the matmul+repair path
-    (ops/dct.real_dct_quant_guarded, bit-identical to the ordered chain);
-    the result's "dct_overflow" bool reports the rare case where its
-    repair capacity was exceeded and the caller must re-encode with
-    guarded_dct=False. Constant False on every other path.
     """
     y, cb, cr = color.rgb_to_ycbcr(rgb)
     y = sample.pad_plane(y, geom)
@@ -120,7 +113,6 @@ def encode_core(
     cr = sample.subsample_plane(sample.pad_plane(cr, geom), geom)
 
     packer = default_packer(capacity_bytes)
-    dct_overflow = jnp.zeros((), bool)
     if bin_dct_descale and algorithm == DctAlgorithm.BIN_DCT:
         # The corrected binDCT runs through the ops path (the Pallas DCT
         # kernels implement only the bug-parity variant).
@@ -183,11 +175,10 @@ def encode_core(
             )
             pallas_planes_dct = True
         else:
-            y_z, cb_z, cr_z, dct_overflow = dct.dct_quantize_planes(
+            y_z, cb_z, cr_z = dct.dct_quantize_planes(
                 sample.blockify(y), sample.blockify(cb), sample.blockify(cr),
                 algorithm, fast_dct, zigzag_out=True,
                 bin_dct_descale=bin_dct_descale, quality=quality,
-                guarded_dct=guarded_dct,
             )
         # The XLA-side DC merge exists only to flip the REAL ordered-chain
         # fusion's emitter windowing at 4:2:2; when a Pallas kernel
@@ -198,8 +189,7 @@ def encode_core(
             packer=packer,
             dc_in_kernel=True if pallas_planes_dct else None,
         )
-    result = {"payload": payload, "total_bits": total_bits,
-              "dct_overflow": dct_overflow}
+    result = {"payload": payload, "total_bits": total_bits}
     if with_coeffs:
         inv_zz = jnp.asarray(np.argsort(tables.ZIGZAG_ORDER))
         result["y_coeffs"] = y_z[:, inv_zz].astype(jnp.int16)
@@ -226,7 +216,6 @@ def compiled_encoder(
     bin_dct_descale: bool = False,
     quality: int | None = None,
     transposed_dct: bool | None = None,
-    guarded_dct: bool = False,
 ):
     """Jitted encode_core for one static configuration (cached)."""
 
@@ -234,7 +223,6 @@ def compiled_encoder(
         return encode_core(
             rgb, geom, algorithm, capacity_bytes, fast_dct, use_pallas,
             validate, with_coeffs, bin_dct_descale, quality, transposed_dct,
-            guarded_dct,
         )
 
     return jax.jit(fn)
@@ -277,24 +265,16 @@ def encode_array(
         geom, config.capacity_bytes_per_pixel
     )
     device_rgb = jnp.asarray(rgb, dtype=jnp.uint8)
-    guarded_dct = config.guarded_dct
     while True:
         out = compiled_encoder(
             geom, config.dct_algorithm, capacity, config.fast_dct,
             config.use_pallas, config.validate, return_coeffs,
             config.bin_dct_descale, config.quality, config.transposed_dct,
-            guarded_dct,
         )(device_rgb)
         if config.validate:
             validate_scan_ranges(
                 int(out["max_dc_diff"]), int(out["max_ac"])
             )
-        if guarded_dct and bool(out["dct_overflow"]):
-            # The guarded RealDCT could not repair every risky block (some
-            # segment exceeded its repair quota — pathological content).
-            # Re-encode with the full exact chain — same bytes, no guard.
-            guarded_dct = False
-            continue
         bit_length = int(out["total_bits"])
         if bit_length <= 8 * capacity:
             break

@@ -117,63 +117,6 @@ def test_real_dct_ordered_matches_oracle_exactly(rng):
     assert np.array_equal(got.reshape(-1, 8, 8), expected)
 
 
-def test_real_dct_guarded_matches_ordered_exactly(rng):
-    """Guarded matmul+repair must be bit-identical to the ordered chain.
-
-    The guard radius must flag every block whose truncated quotient could
-    differ between summation orders (tools/exp_dct_guarded.py measured
-    7-9% risky, 0 missed on photographic and noise content on hardware);
-    uniform noise is the adversarial content class here.
-    """
-    blocks = rng.integers(0, 256, size=(512, 64), dtype=np.uint8)
-    want = np.asarray(
-        dct.real_dct_quant_ordered(jnp.asarray(blocks), tables.Y_QUANT_TABLE)
-    )
-    got, overflow = dct.real_dct_quant_guarded(
-        jnp.asarray(blocks), tables.Y_QUANT_TABLE
-    )
-    assert not bool(overflow)
-    assert np.array_equal(np.asarray(got), want)
-
-
-def test_real_dct_guarded_zigzag_matches_ordered(rng):
-    blocks = rng.integers(0, 256, size=(256, 64), dtype=np.uint8)
-    want = np.asarray(
-        dct.real_dct_quant_ordered(
-            jnp.asarray(blocks), tables.Y_QUANT_TABLE, zigzag_out=True
-        )
-    )
-    got, overflow = dct.real_dct_quant_guarded(
-        jnp.asarray(blocks), tables.Y_QUANT_TABLE, zigzag_out=True
-    )
-    assert not bool(overflow)
-    assert np.array_equal(np.asarray(got), want)
-
-
-def test_real_dct_guarded_overflow_flag(rng):
-    """A repair quota below the per-segment risky count must raise the
-    overflow flag (the pipeline then falls back to the ordered chain)."""
-    blocks = rng.integers(0, 256, size=(256, 64), dtype=np.uint8)
-    _, overflow = dct.real_dct_quant_guarded(
-        jnp.asarray(blocks), tables.Y_QUANT_TABLE, quota=1
-    )
-    assert bool(overflow)
-
-
-def test_real_dct_guarded_unaligned_tail(rng):
-    """N not a multiple of the segment size: the pad must never be risky
-    and the tail must still be repaired exactly."""
-    blocks = rng.integers(0, 256, size=(130, 64), dtype=np.uint8)
-    want = np.asarray(
-        dct.real_dct_quant_ordered(jnp.asarray(blocks), tables.C_QUANT_TABLE)
-    )
-    got, overflow = dct.real_dct_quant_guarded(
-        jnp.asarray(blocks), tables.C_QUANT_TABLE
-    )
-    assert not bool(overflow)
-    assert np.array_equal(np.asarray(got), want)
-
-
 def test_real_dct_fast_matches_oracle(rng):
     """The opt-in MXU matmul path: same math, different f32 summation order.
 

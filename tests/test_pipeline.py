@@ -135,15 +135,6 @@ def test_bin_dct_descale_coefficients_near_real_dct(rng):
     assert err_fixed < err_parity / 2
 
 
-def test_guarded_dct_file_identical(rng):
-    """guarded_dct=True must produce the exact same file as the default
-    ordered chain (including through the overflow->exact fallback)."""
-    rgb = rng.integers(0, 256, size=(40, 56, 3), dtype=np.uint8)
-    base = pipeline.encode_array(rgb, EncoderConfig())
-    guarded = pipeline.encode_array(rgb, EncoderConfig(guarded_dct=True))
-    assert guarded.file_bytes == base.file_bytes
-
-
 def test_compression_actually_compresses():
     rgb = _gradient_image(128, 96)
     result = pipeline.encode_array(rgb, EncoderConfig())

@@ -138,7 +138,7 @@ crb = jnp.asarray(rng.integers(0, 256, (NC, 64), np.uint8))
 f_planes_ops = jax.jit(
     lambda a, b, c: dct.dct_quantize_planes(
         a, b, c, DctAlgorithm.REAL_DCT, zigzag_out=True
-    )[:3]
+    )
 )
 f_planes_t = jax.jit(dct_pallas.real_dct_quant_planes_zigzag_pallas_t)
 

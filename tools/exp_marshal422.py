@@ -133,7 +133,7 @@ if geom.v_factor == 1 and geom.h_factor == 2:
         crp = sample.subsample_plane(sample.pad_plane(crp, geom), geom)
         return dct.dct_quantize_planes(
             sample.blockify(yp), sample.blockify(cbp), sample.blockify(crp),
-            DctAlgorithm.REAL_DCT, False, zigzag_out=True)[:3]
+            DctAlgorithm.REAL_DCT, False, zigzag_out=True)
 
     def situ(mar, barrier):
         def g(im):

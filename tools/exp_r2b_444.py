@@ -3,12 +3,10 @@
 A/Bs the knobs that might lift the 4:4:4 cells toward the 1200 Mpix/s bar:
   default        transposed Pallas DCT + fused entropy (production)
   merge4         + oct assembly merge (JPEG_TPU_KERNEL_MERGE=4)
-  guarded        XLA guarded RealDCT (matmul + provable repair) instead of
-                 the transposed Pallas chain
-  guarded+merge4 both
   fast           non-exact matmul DCT (upper bound for any exact DCT path)
 
-Also times the DCT stage alone for the transposed kernel vs guarded.
+Also times the front (color/subsample/blockify) and DCT stages alone.
+Requires a TPU backend (the Pallas stage timers run compiled kernels).
 
     python tools/exp_r2b_444.py [ratio]
 """
@@ -82,24 +80,15 @@ def front(rgb):
     return sample.blockify(y), sample.blockify(cb), sample.blockify(cr)
 
 
+assert jax.default_backend() == "tpu", "stage timers need a TPU backend"
+
+
 @jax.jit
 def dct_t(imgs):
     def one(rgb):
         yb, cbb, crb = front(rgb)
         y_z, cb_z, cr_z = dct_pallas.real_dct_quant_planes_zigzag_pallas_t(
             yb, cbb, crb)
-        return (jnp.sum(y_z.astype(jnp.int32)) + jnp.sum(cb_z.astype(jnp.int32))
-                + jnp.sum(cr_z.astype(jnp.int32)))
-    return jnp.sum(jax.vmap(one)(imgs))
-
-
-@jax.jit
-def dct_g(imgs):
-    def one(rgb):
-        yb, cbb, crb = front(rgb)
-        y_z, cb_z, cr_z, _ = dct.dct_quantize_planes(
-            yb, cbb, crb, DctAlgorithm.REAL_DCT, zigzag_out=True,
-            guarded_dct=True)
         return (jnp.sum(y_z.astype(jnp.int32)) + jnp.sum(cb_z.astype(jnp.int32))
                 + jnp.sum(cr_z.astype(jnp.int32)))
     return jnp.sum(jax.vmap(one)(imgs))
@@ -116,9 +105,6 @@ def front_only(imgs):
 
 timeit("front+blockify only", front_only, images)
 timeit("dct transposed-pallas", dct_t, images)
-timeit("dct guarded (xla)", dct_g, images)
 e2e("e2e default")
 e2e("e2e merge4", merge4=True)
-e2e("e2e guarded", transposed_dct=False, guarded_dct=True)
-e2e("e2e guarded+merge4", merge4=True, transposed_dct=False, guarded_dct=True)
 e2e("e2e fast (inexact)", transposed_dct=False, fast_dct=True)

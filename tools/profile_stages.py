@@ -64,14 +64,13 @@ def front_planes(rgb):
     return y, cb, cr
 
 
-GUARDED = os.environ.get("JPEG_TPU_GUARDED_DCT") == "1"
 
 
 def front_dct(rgb):
     y, cb, cr = front_planes(rgb)
     return dct.dct_quantize_planes(
         sample.blockify(y), sample.blockify(cb), sample.blockify(cr),
-        ALG, False, zigzag_out=True, guarded_dct=GUARDED)[:3]
+        ALG, False, zigzag_out=True)
 
 
 def marshal(y_z, cb_z, cr_z):
@@ -105,7 +104,7 @@ def s3(rgb):
 def s4(rgb):
     def one(im):
         out = pipeline.encode_core(
-            im, geom, ALG, cap, with_coeffs=False, guarded_dct=GUARDED)
+            im, geom, ALG, cap, with_coeffs=False)
         return out["total_bits"]
     return jnp.sum(jax.vmap(one)(rgb))
 

@@ -31,7 +31,7 @@ def front(im):
     y = sample.pad_plane(y, geom)
     cb = sample.subsample_plane(sample.pad_plane(cb, geom), geom)
     cr = sample.subsample_plane(sample.pad_plane(cr, geom), geom)
-    y_z, cb_z, cr_z, _ = dct.dct_quantize_planes(
+    y_z, cb_z, cr_z = dct.dct_quantize_planes(
         sample.blockify(y), sample.blockify(cb), sample.blockify(cr),
         DctAlgorithm.REAL_DCT, False, zigzag_out=True)
     return entropy.marshal_scan_inputs(
