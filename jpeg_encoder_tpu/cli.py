@@ -146,6 +146,9 @@ def main(argv: list[str] | None = None) -> int:
     print(f'dct algorithm: "{args.dct_algorithm}"')
     print()
 
+    from jpeg_encoder_tpu.utils import compile_cache
+
+    compile_cache.enable()  # cold starts pay the compile ONCE per config
     from jpeg_encoder_tpu import pipeline  # defer jax import past arg errors
     from jpeg_encoder_tpu.io import bmp
 
@@ -203,6 +206,9 @@ def _run_batch(inputs: list[str], args, config: EncoderConfig) -> int:
     import collections
     import os
 
+    from jpeg_encoder_tpu.utils import compile_cache
+
+    compile_cache.enable()
     from jpeg_encoder_tpu.io import bmp
     from jpeg_encoder_tpu.parallel import batch as batch_lib
     from jpeg_encoder_tpu.parallel import mesh as mesh_lib
