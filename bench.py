@@ -105,7 +105,7 @@ def main() -> None:
         """
         t0 = time.perf_counter()
         for i in range(iters):
-            _, bits, _ = encode(images)
+            _, bits = encode(images)
         np.asarray(bits[0])
         return time.perf_counter() - t0
 

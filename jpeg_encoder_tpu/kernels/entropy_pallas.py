@@ -28,23 +28,27 @@ same work in half the vector registers a one-entry-per-row layout needs.
    ratios (4:4:4) gather all four rows and select after.
 3. pair slot packing — entry B's bits follow A's contiguously in the
    stream, so the row is ONE 128-slot sequence: a full-width exclusive
-   cumsum gives pair-relative offsets; the word index per slot is a
-   unit-step staircase, so each output word's contributions form one
-   contiguous slot segment whose bit ranges are DISJOINT — its OR is a
-   SUM, i.e. a difference of prefix sums. Spills ride the same prefix
-   sum shifted one slot forward (a segment's spill starts at bit 0 of
-   the next word, exactly where that word's first slot leaves off); a
-   7-step per-lane binary search + one gather reads the pair's <= 110
-   words out.
+   cumsum gives pair-relative offsets (an MXU triangular matmul); the
+   word index per slot is a unit-step staircase, so each output word's
+   contributions form one contiguous slot segment whose bit ranges are
+   DISJOINT — its OR is a SUM, i.e. a difference of prefix sums (more
+   triangular matmuls, in exact 8-bit chunks). Spills ride the same
+   prefix sum shifted one slot forward (a segment's spill starts at bit
+   0 of the next word, exactly where that word's first slot leaves
+   off); a 7-step per-lane binary search + one gather reads the pair's
+   <= 110 words out.
 4. assembly into a VMEM-resident output: a per-sublane shift aligns the
    pair buffer to the absolute word grid, a per-sublane lane gather
    rotates it to its lane position, and the two 128-word output rows a
    pair can span split by lane (<= 111 aligned words from any start
-   lane never reach word 256). A sublane roll then merges row pairs —
-   quads of entries, <= 3 output rows — so the sequential loop does one
-   three-row read-modify-OR per FOUR entries, round-robined over
-   independent accumulators; the running global bit offset is carried
-   across grid steps in SMEM scratch.
+   lane never reach word 256). Then the same disjointness (every output
+   bit is written by exactly one pair, so OR == SUM) turns the scatter
+   into MATMULS: one-hot (rows_loc, T2) row-assignment matrices times
+   the 8-bit chunks of the aligned contributions assemble the tile's
+   whole contiguous row window, committed with a single dynamic
+   read-modify-OR. The running global bit offset is carried across grid
+   steps in SMEM scratch; a tile denser than the static window falls
+   back to a sequential per-pair RMW loop (byte-identical).
 
 Scan-order marshalling (reshape/transpose), zigzag, and DC differences stay
 in XLA (pure layout work), in ops/entropy.encode_scan's `fused` packer path.
@@ -132,17 +136,15 @@ def _bit_length_f32(av):
 def _entropy_kernel(
     z_ref, lut_ref, live_ref, init_ref,
     out_ref, bits_ref,
-    c0s, c1s, c2s, c3s, c4s, rloc, carry, dc_carry, acc2,
+    c0s, c1s, rloc, carry, dc_carry,
     *, tile, num_entries, blocks_per_mcu, hv, num_words, lut_scalars,
-    n_chains, merge, dc_in_kernel,
+    rows_loc, force_fallback, dc_in_kernel,
 ):
     pid = pl.program_id(0)
 
     @pl.when(pid == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
-        if n_chains > 1:
-            acc2[:] = jnp.zeros_like(acc2)
         carry[0] = 0
 
     t2 = tile // 2
@@ -350,11 +352,19 @@ def _entropy_kernel(
     # keeps the differences exact). Only the final slot's spill escapes
     # (no slot follows to carry it); it is patched in at word w_last + 1.
     contrib = hi + _shift_lanes(lo, 1, jnp.uint32(0))
-    cs = contrib
-    k = 1
-    while k < 128:
-        cs = cs + _shift_lanes(cs, k, jnp.uint32(0))
-        k *= 2
+    # u32 inclusive prefix sum over the 128 slot lanes as four 8-bit-chunk
+    # MXU matmuls against the same triangular matrix (each chunk <= 255 is
+    # bf16-exact; per-chunk partial sums <= 128 * 255 < 2^24 are f32-exact;
+    # the shifted recombination is exact mod 2^32, which is all the
+    # difference-of-prefix-sums packing needs). Measured faster than the
+    # 7-step roll/add network it replaces (tools/exp_kernel_sections.py).
+    cs = jnp.zeros_like(contrib)
+    for kk in range(4):
+        ck = ((contrib >> (8 * kk)) & 0xFF).astype(jnp.int32).astype(
+            jnp.bfloat16
+        )
+        csk = jnp.dot(ck, tri, preferred_element_type=jnp.float32)
+        cs = cs + (csk.astype(jnp.int32).astype(jnp.uint32) << (8 * kk))
     # Binary search: sidx[w] = max{s <= 127 : word_idx[s] <= w}
     # (word_idx[0] = 0, so s = 0 is always a valid lower bound).
     colw = lane
@@ -371,12 +381,13 @@ def _entropy_kernel(
     ew = acc | jnp.where(colw == w_last + 1, lo_last, 0)  # (T2, 128) pair
 
     # ---- tile-local exclusive offsets + global carry ----
-    incl_p = pair_bits.reshape(1, t2)
+    pb_row = pair_bits.reshape(1, t2)    # free relayout (verified idiom)
+    incl_row = pb_row
     k = 1
     while k < t2:
-        incl_p = incl_p + _shift_lanes(incl_p, k, 0)
+        incl_row = incl_row + _shift_lanes(incl_row, k, 0)
         k *= 2
-    incl_p = incl_p.reshape(t2, 1)
+    incl_p = incl_row.reshape(t2, 1)
     base = carry[0]
     off_p = base + incl_p - pair_bits
     carry[0] = base + incl_p[t2 - 1, 0]
@@ -384,6 +395,7 @@ def _entropy_kernel(
     # Clamp windows into bounds (overflow is detected via total_bits).
     max_off = (num_words - 2 * ENTRY_WORDS - 1) * 32
     off_p = jnp.minimum(off_p, max_off)
+    off_row = jnp.minimum(base + incl_row - pb_row, max_off)  # (1, T2)
 
     # ---- wide contribution prep ----
     # Align the pair buffer to the absolute word grid (per-sublane shift),
@@ -401,80 +413,67 @@ def _entropy_kernel(
     rot = jnp.take_along_axis(sh, w_rel, axis=1)
     c0 = jnp.where(lane >= l_a, rot, 0)
     c1 = jnp.where(lane < l_a, rot, 0)
-    # Merge consecutive kernel rows so the sequential loop does one RMW
-    # per `merge` rows (2*merge entries). merge=2 (quad): rows (2j, 2j+1)
-    # span <= 226 words = THREE output rows. merge=4 (oct): rows
-    # 4j..4j+3 span <= 452 words = FIVE output rows (each pair adds
-    # <= 111 words, so the row offset d_k of row 4j+k relative to 4j
-    # satisfies d_k <= k, and its c1 lands at d_k + 1 <= 4). Rolls bring
-    # row p+k's contributions up to row p; data-dependent row offsets
-    # become selects.
-    def up(x, k):
-        return pltpu.roll(x, t2 - k, 0)
 
-    rloc[:] = r_a
-    if merge == 2:
-        d = up(r_a, 1) - r_a             # valid at even rows
-        c0n = up(c0, 1)
-        c1n = up(c1, 1)
-        c0s[:] = c0 | jnp.where(d == 0, c0n, 0)
-        c1s[:] = c1 | jnp.where(d == 0, c1n, jnp.where(d == 1, c0n, 0))
-        c2s[:] = jnp.where(d == 1, c1n, 0)
-        span = 3
-    else:
-        assert merge == 4
-        acc = [c0, c1, jnp.zeros_like(c0), jnp.zeros_like(c0),
-               jnp.zeros_like(c0)]
-        for k in (1, 2, 3):
-            d = up(r_a, k) - r_a         # in 0..k at rows p % 4 == 0
-            c0k = up(c0, k)
-            c1k = up(c1, k)
-            for j in range(k + 1):
-                acc[j] = acc[j] | jnp.where(d == j, c0k, 0)
-                acc[j + 1] = acc[j + 1] | jnp.where(d == j, c1k, 0)
-        c0s[:], c1s[:], c2s[:] = acc[0], acc[1], acc[2]
-        c3s[:], c4s[:] = acc[3], acc[4]
-        span = 5
-
-    # ---- sequential assembly into the resident output ----
-    # Only the read-modify-OR into the (dynamically addressed) output rows
-    # is sequential, round-robined across up to n_chains INDEPENDENT
-    # accumulators (out_ref and row-bands of acc2) so the scheduler can
-    # interleave their dependency chains. Every bit of the stream is
-    # written by exactly one entry, so OR-ing the accumulators at the end
-    # reproduces the single sequential stream exactly.
+    # ---- assembly: one-hot MXU scatter into the tile's row window ----
+    # Every bit of the stream is written by exactly one pair, so the OR
+    # over pairs contributing to an output word equals its SUM — and a sum
+    # over pairs is a matmul. The tile's pairs land in a contiguous row
+    # window [r_first, r_first + rows_loc): two one-hot (rows_loc, T2)
+    # matrices (A0 for each pair's first row r_a, A1 for its second) times
+    # the 8-bit chunks of c0/c1 assemble the whole tile in 8 small MXU
+    # matmuls — chunk sums stay <= 255 (each output bit is set at most
+    # once), so bf16 inputs and f32 accumulation are exact. One dynamic
+    # (rows_loc, 128) read-modify-OR commits the window; sequential grid
+    # steps make the window overlap at tile boundaries safe. Tiles denser
+    # than rows_loc rows (> ~126 bits/entry average; none on real content,
+    # where 10-40 is typical) take the sequential per-pair RMW fallback —
+    # byte-identical, just slower.
     nrows = out_ref.shape[0]
-    bufs = [c0s, c1s, c2s, c3s, c4s][:span]
+    r_first = jnp.minimum(base >> 12, nrows - rows_loc)  # 4096 bits per row
+    fits = ((carry[0] - 1) >> 12) - r_first <= rows_loc - 2
 
-    def rmw(target, band, p):
-        r = band * nrows + rloc[p, 0]
-        contrib = jnp.concatenate(
-            [b[pl.ds(p, 1), :] for b in bufs], axis=0
-        )
-        cur = target[pl.ds(r, span), :]
-        target[pl.ds(r, span), :] = cur | contrib
+    def matmul_assembly():
+        r_rel = (off_row >> 12) - r_first          # (1, T2)
+        ii_r = jax.lax.broadcasted_iota(jnp.int32, (rows_loc, t2), 0)
+        a0 = (ii_r == r_rel).astype(jnp.bfloat16)
+        a1 = (ii_r == r_rel + 1).astype(jnp.bfloat16)
+        acc_loc = jnp.zeros((rows_loc, 128), jnp.uint32)
+        for kk in range(4):
+            c0k = ((c0 >> (8 * kk)) & 0xFF).astype(jnp.int32).astype(
+                jnp.bfloat16
+            )
+            c1k = ((c1 >> (8 * kk)) & 0xFF).astype(jnp.int32).astype(
+                jnp.bfloat16
+            )
+            s = jnp.dot(a0, c0k, preferred_element_type=jnp.float32) + (
+                jnp.dot(a1, c1k, preferred_element_type=jnp.float32)
+            )
+            acc_loc = acc_loc | (
+                s.astype(jnp.int32).astype(jnp.uint32) << (8 * kk)
+            )
+        cur = out_ref[pl.ds(r_first, rows_loc), :]
+        out_ref[pl.ds(r_first, rows_loc), :] = cur | acc_loc
 
-    if n_chains == 1:
-        def body(i, _):
-            rmw(out_ref, 0, merge * i)
+    def fallback_assembly():
+        c0s[:] = c0
+        c1s[:] = c1
+        rloc[:] = r_a
+
+        def body(p, _):
+            r = rloc[p, 0]
+            cur = out_ref[pl.ds(r, 2), :]
+            out_ref[pl.ds(r, 2), :] = cur | jnp.concatenate(
+                [c0s[pl.ds(p, 1), :], c1s[pl.ds(p, 1), :]], axis=0
+            )
             return 0
 
-        jax.lax.fori_loop(0, t2 // merge, body, 0, unroll=False)
+        jax.lax.fori_loop(0, t2, body, 0, unroll=False)
+
+    if force_fallback:
+        fallback_assembly()
     else:
-        def body(i, _):
-            rmw(out_ref, 0, merge * n_chains * i)
-            for k in range(1, n_chains):
-                rmw(acc2, k - 1, merge * (n_chains * i + k))
-            return 0
-
-        jax.lax.fori_loop(0, t2 // (merge * n_chains), body, 0, unroll=False)
-
-        @pl.when(pid == pl.num_programs(0) - 1)
-        def _():
-            merged = out_ref[:]
-            for k in range(n_chains - 1):
-                merged = merged | acc2[k * nrows : (k + 1) * nrows, :]
-            out_ref[:] = merged
+        pl.when(fits)(matmul_assembly)
+        pl.when(jnp.logical_not(fits))(fallback_assembly)
 
 
 @functools.cache
@@ -498,11 +497,11 @@ def encode_entropy_fused(
     capacity_bytes: int,
     init_dc: jnp.ndarray | None = None,  # (3,) i32 initial DC predictors
     interpret: bool = False,
-    n_chains_override: int | None = None,
     live_entries: jnp.ndarray | None = None,
-    merge: int = 2,
     dc_in_kernel: bool = True,
     dc_diff: jnp.ndarray | None = None,  # (E,) i32, dc_in_kernel=False only
+    rows_loc: int = 64,
+    force_fallback: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fused device entropy coding: returns (u32 words flat bytes, total_bits).
 
@@ -516,29 +515,20 @@ def encode_entropy_fused(
     windowing depending on this exact program structure, per ratio
     (measured 4:2:2: XLA merge 935 vs in-kernel 738 Mpix/s; 4:2:0/4:4:4
     the other way: 1510/753 vs 1384/706 — tools/chip_session.log).
-    n_chains_override forces the accumulator-chain count (tests use it to
-    exercise the single-chain assembly branch at small capacities).
     live_entries (traced scalar, default: all) masks the scan suffix at
     index >= live_entries to emit zero bits — uneven MCU-band sharding's
     dead-row entries (parallel/tiled.py) ride the fused path with it.
-    merge (2 or 4) sets how many kernel rows the assembly loop folds into
-    one read-modify-OR (quad vs oct merge; same bytes either way).
+    rows_loc sets the per-tile output row window of the matmul assembly
+    (tiles denser than that take the sequential fallback; tests shrink it
+    to force the fallback on real content); force_fallback compiles the
+    fallback alone (byte-identity coverage).
     """
     assert capacity_bytes % 4 == 0
-    assert merge in (2, 4)
-    span = 3 if merge == 2 else 5
     num_entries = z.shape[0]
     num_words = capacity_bytes // 4
-    rows = -(-(num_words // 128 + span) // 8) * 8
-    # Extra accumulators (independent RMW dependency chains) trade VMEM
-    # for merge-loop latency; spend a ~32 MB accumulator budget against
-    # the compiler VMEM ceiling set below. Must be a power of two so the
-    # round-robin covers every row (a non-divisor would drop tail rows).
-    n_chains = min(16, max(1, (32 * (1 << 20)) // capacity_bytes))
-    n_chains = 1 << (n_chains.bit_length() - 1)
-    if n_chains_override is not None:
-        n_chains = n_chains_override
-    assert (TILE // (2 * merge)) % n_chains == 0
+    # Data rows + the matmul window's slack (a tile whose pairs start on
+    # the last data row still commits a full rows_loc-row window).
+    rows = -(-(num_words // 128 + rows_loc + 1) // 8) * 8
 
     if not dc_in_kernel:
         # Merge the DC difference into slot 0 of each entry (slot 0 is the
@@ -571,8 +561,8 @@ def encode_entropy_fused(
         hv=geom.h_factor * geom.v_factor,
         num_words=num_words,
         lut_scalars=_lut_scalars(),
-        n_chains=n_chains,
-        merge=merge,
+        rows_loc=rows_loc,
+        force_fallback=force_fallback,
         dc_in_kernel=dc_in_kernel,
     )
     t2 = TILE // 2
@@ -594,24 +584,15 @@ def encode_entropy_fused(
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ),
         scratch_shapes=[
+            # Fallback-assembly staging (the sequential loop needs the
+            # contribution rows addressable) + per-pair row locations.
             pltpu.VMEM((t2, 128), jnp.uint32),
             pltpu.VMEM((t2, 128), jnp.uint32),
-            pltpu.VMEM((t2, 128), jnp.uint32),
-            # Oct-merge's 4th/5th contribution rows; minimal dummies when
-            # the quad merge never touches them.
-            pltpu.VMEM((t2 if merge == 4 else 8, 128), jnp.uint32),
-            pltpu.VMEM((t2 if merge == 4 else 8, 128), jnp.uint32),
             pltpu.VMEM((t2, 1), jnp.int32),
             pltpu.SMEM((1,), jnp.int32),
             # Previous tile's last 8 rows of raw DCs (full-width, lanes 0
             # and 64 live) for the cross-tile DC-difference lookbacks.
             pltpu.VMEM((8, 128), jnp.int32),
-            # One accumulator band per extra chain; a minimal dummy when
-            # n_chains == 1 (the single-chain path never touches acc2 —
-            # a full-sized dummy would double VMEM demand and push >49 MB
-            # retry capacities past the compiler ceiling).
-            pltpu.VMEM(((n_chains - 1) * rows if n_chains > 1 else 8, 128),
-                       jnp.uint32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,

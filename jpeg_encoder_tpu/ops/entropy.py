@@ -28,7 +28,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -268,13 +267,10 @@ def encode_scan(
             y_coeffs, cb_coeffs, cr_coeffs, geom, init_dc,
             coeffs_zigzagged, want_diff=not dc_in_kernel,
         )
-        # Dev A/B knob for the assembly merge depth (quad vs oct);
-        # read at trace time, so it is baked into the compiled program.
-        merge = 4 if os.environ.get("JPEG_TPU_KERNEL_MERGE") == "4" else 2
         words, total_bits = entropy_pallas.encode_entropy_fused(
             z, geom, capacity_bytes, init_dc=init_dc,
             interpret=(packer == "fused_interpret"),
-            live_entries=live_entries, merge=merge,
+            live_entries=live_entries,
             dc_in_kernel=dc_in_kernel, dc_diff=entry_diff,
         )
         return _words_to_bytes(words), total_bits

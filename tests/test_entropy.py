@@ -265,9 +265,9 @@ def test_fused_kernel_under_vmap(rng):
         assert np.array_equal(np.asarray(pv[i]), np.asarray(p1))
 
 
-def test_fused_kernel_single_chain_branch(rng):
-    """The n_chains == 1 assembly branch (large-capacity retries take it on
-    hardware) must be byte-identical to the multi-chain default."""
+def test_fused_kernel_fallback_assembly_identical(rng):
+    """The sequential fallback assembly (tiles denser than the matmul row
+    window) must be byte-identical to the matmul path."""
     import jax.numpy as jnp
 
     from jpeg_encoder_tpu.config import EncoderConfig
@@ -281,8 +281,7 @@ def test_fused_kernel_single_chain_branch(rng):
     w1, b1 = entropy_pallas.encode_entropy_fused(
         jnp.asarray(z), geom, cap, interpret=True)
     w2, b2 = entropy_pallas.encode_entropy_fused(
-        jnp.asarray(z), geom, cap, interpret=True,
-        n_chains_override=1)
+        jnp.asarray(z), geom, cap, interpret=True, force_fallback=True)
     assert int(b1) == int(b2)
     assert np.array_equal(np.asarray(w1), np.asarray(w2))
 
@@ -316,9 +315,11 @@ def test_fused_kernel_dc_modes_identical(ratio, rng):
     assert np.array_equal(np.asarray(w1), np.asarray(w2))
 
 
-def test_fused_kernel_oct_merge_branch(rng):
-    """The merge=4 (oct) assembly must be byte-identical to the quad
-    default, including with a single accumulator chain."""
+def test_fused_kernel_runtime_fallback_trigger(rng):
+    """A dense scan must TRIP the runtime density check (rows_loc shrunk so
+    real content overflows the matmul window) and still produce the exact
+    bytes of the default path — covering the in-kernel branch select, not
+    just the force_fallback compile-time variant."""
     import jax.numpy as jnp
 
     from jpeg_encoder_tpu.config import EncoderConfig
@@ -326,17 +327,16 @@ def test_fused_kernel_oct_merge_branch(rng):
 
     geom = EncoderConfig(subsampling_ratio=(4, 2, 0)).geometry(64, 32)
     e = geom.num_scan_entries
-    z = rng.integers(-200, 200, (e, 64)).astype(np.int16)
-    z[:, 6:] = np.where(rng.random(z[:, 6:].shape) < 0.8, 0, z[:, 6:])
-    cap = 1 << 14
+    # Dense coefficients: every slot nonzero -> hundreds of bits/entry,
+    # far above the 8 * 4096 bits a rows_loc=8 window holds per tile.
+    z = rng.integers(1, 200, (e, 64)).astype(np.int16)
+    cap = 1 << 16
     w1, b1 = entropy_pallas.encode_entropy_fused(
         jnp.asarray(z), geom, cap, interpret=True)
-    for chains in (None, 1):
-        w2, b2 = entropy_pallas.encode_entropy_fused(
-            jnp.asarray(z), geom, cap, interpret=True,
-            n_chains_override=chains, merge=4)
-        assert int(b1) == int(b2)
-        assert np.array_equal(np.asarray(w1), np.asarray(w2))
+    w2, b2 = entropy_pallas.encode_entropy_fused(
+        jnp.asarray(z), geom, cap, interpret=True, rows_loc=8)
+    assert int(b1) == int(b2)
+    assert np.array_equal(np.asarray(w1), np.asarray(w2))
 
 
 @pytest.mark.parametrize("ratio", [(4, 2, 0), (4, 4, 4)])

@@ -2,7 +2,6 @@
 
 A/Bs the knobs that might lift the 4:4:4 cells toward the 1200 Mpix/s bar:
   default        transposed Pallas DCT + fused entropy (production)
-  merge4         + oct assembly merge (JPEG_TPU_KERNEL_MERGE=4)
   fast           non-exact matmul DCT (upper bound for any exact DCT path)
 
 Also times the front (color/subsample/blockify) and DCT stages alone.
@@ -10,7 +9,6 @@ Requires a TPU backend (the Pallas stage timers run compiled kernels).
 
     python tools/exp_r2b_444.py [ratio]
 """
-import os
 import sys
 import time
 
@@ -55,12 +53,7 @@ def timeit(name, fn, *args, iters=60):
     return dt
 
 
-def e2e(name, merge4=False, **kw):
-    if merge4:
-        os.environ["JPEG_TPU_KERNEL_MERGE"] = "4"
-    else:
-        os.environ.pop("JPEG_TPU_KERNEL_MERGE", None)
-
+def e2e(name, **kw):
     @jax.jit
     def go(imgs):
         def one(rgb):
@@ -106,5 +99,4 @@ def front_only(imgs):
 timeit("front+blockify only", front_only, images)
 timeit("dct transposed-pallas", dct_t, images)
 e2e("e2e default")
-e2e("e2e merge4", merge4=True)
 e2e("e2e fast (inexact)", transposed_dct=False, fast_dct=True)
