@@ -28,20 +28,23 @@ same work in half the vector registers a one-entry-per-row layout needs.
    ratios (4:4:4) gather all four rows and select after.
 3. pair slot packing — entry B's bits follow A's contiguously in the
    stream, so the row is ONE 128-slot sequence: a full-width exclusive
-   cumsum gives pair-relative offsets (an MXU triangular matmul); the
-   word index per slot is a unit-step staircase, so each output word's
-   contributions form one contiguous slot segment whose bit ranges are
-   DISJOINT — its OR is a SUM, i.e. a difference of prefix sums (more
-   triangular matmuls, in exact 8-bit chunks). Spills ride the same
-   prefix sum shifted one slot forward (a segment's spill starts at bit
-   0 of the next word, exactly where that word's first slot leaves
-   off); a 7-step per-lane binary search + one gather reads the pair's
-   <= 110 words out.
-4. assembly into a VMEM-resident output: a per-sublane shift aligns the
-   pair buffer to the absolute word grid, a per-sublane lane gather
-   rotates it to its lane position, and the two 128-word output rows a
-   pair can span split by lane (<= 111 aligned words from any start
-   lane never reach word 256). Then the same disjointness (every output
+   cumsum gives pair-relative offsets (an MXU triangular matmul), and the
+   pair's sub-word stream phase (its absolute bit offset mod 32) is
+   FOLDED INTO those offsets up front (one broadcast add), so the packed
+   words land directly on the absolute word grid — no post-hoc variable
+   alignment shift exists. The word index per slot is a unit-step
+   staircase, so each output word's contributions form one contiguous
+   slot segment whose bit ranges are DISJOINT — its OR is a SUM, i.e. a
+   difference of prefix sums (more triangular matmuls, in exact 8-bit
+   chunks). Spills ride the same prefix sum shifted one slot forward (a
+   segment's spill starts at bit 0 of the next word, exactly where that
+   word's first slot leaves off); a 7-step per-lane binary search + one
+   gather reads the pair's <= 111 words out.
+4. assembly into a VMEM-resident output: a per-sublane lane gather
+   rotates the aligned pair buffer to its lane position, and the two
+   128-word output rows a pair can span split by lane (<= 111 aligned
+   words from any start lane never reach word 256). Then the same
+   disjointness (every output
    bit is written by exactly one pair, so OR == SUM) turns the scatter
    into MATMULS: one-hot (rows_loc, T2) row-assignment matrices times
    the 8-bit chunks of the aligned contributions assemble the tile's
@@ -311,7 +314,7 @@ def _entropy_kernel(
     slot_bits = jnp.where(valid, slot_bits, jnp.uint32(0))
     slot_lens = jnp.where(valid, slot_lens, 0)
 
-    # ---- pair-local exclusive bit offsets ----
+    # ---- pair-local bit prefix + tile-local offsets + global carry ----
     # Entry B's bits follow entry A's contiguously in the final stream, so
     # the whole ROW is one 128-slot sequence and its inclusive prefix sum
     # is ONE MXU matmul against an upper-triangular ones matrix (the VPU
@@ -324,10 +327,41 @@ def _entropy_kernel(
         slot_lens.astype(jnp.bfloat16), tri,
         preferred_element_type=jnp.float32,
     ).astype(jnp.int32)
-    local_off = incl - slot_lens
     pair_bits = incl[:, 127:128]         # (T2, 1)
 
-    # ---- slot codes -> pair word buffer (<= 110 of the 128 lanes) ----
+    # Tile-local pair-offset scan, SUBLANE-wise on the (T2, 1) column.
+    # This sits on the critical path of everything downstream (the packing
+    # phase folds the stream offsets in), so latency matters more than op
+    # count: the log-scan over sublane rolls keeps every step a wide
+    # parallel vreg shuffle, while the earlier (T2,1)->(1,T2)->(T2,1)
+    # relayout + lane-scan form exposed ~3.1 ms/batch of narrow-op latency
+    # at 4:4:4 once the packing became offset-dependent (measured:
+    # full kernel 10.6 -> 9.0 ms/batch — tools/exp_kernel_sections.py).
+    row2a = _lane_iota((t2, 1), 0)
+    incl_p = pair_bits
+    k = 1
+    while k < t2:
+        incl_p = incl_p + jnp.where(row2a >= k, pltpu.roll(incl_p, k, 0), 0)
+        k *= 2
+    base = carry[0]
+    carry[0] = base + incl_p[t2 - 1, 0]
+    bits_ref[0, 0] = carry[0]
+    # Clamp windows into bounds (overflow is detected via total_bits).
+    max_off = (num_words - 2 * ENTRY_WORDS - 1) * 32
+    exc_p = incl_p - pair_bits
+    off_p = jnp.minimum(base + exc_p, max_off)
+    off_row = jnp.minimum(base + exc_p.reshape(1, t2), max_off)  # (1, T2)
+
+    # ---- slot codes -> ALIGNED pair word buffer (<= 111 of 128 lanes) ----
+    # The pair's sub-word phase (off_p & 31) is FOLDED INTO the slot
+    # offsets before packing — one broadcast add — so the packed words
+    # come out already aligned to the absolute 32-bit word grid and no
+    # post-hoc alignment shift exists. (The previous form packed at phase
+    # 0 and realigned with two variable-amount shifts, which Mosaic lowers
+    # to ~20-op conditional-shift networks each: +2.7 ms/batch at 4:4:4,
+    # the kernel's single largest section — tools/exp_kernel_sections.py.)
+    sbit = off_p & 31
+    local_off = incl - slot_lens + sbit  # aligned exclusive offsets
     start = local_off & 31
     end = start + slot_lens
     shift_hi = jnp.clip(32 - end, 0, 31).astype(jnp.uint32)
@@ -366,7 +400,7 @@ def _entropy_kernel(
         csk = jnp.dot(ck, tri, preferred_element_type=jnp.float32)
         cs = cs + (csk.astype(jnp.int32).astype(jnp.uint32) << (8 * kk))
     # Binary search: sidx[w] = max{s <= 127 : word_idx[s] <= w}
-    # (word_idx[0] = 0, so s = 0 is always a valid lower bound).
+    # (word_idx[0] = sbit >> 5 = 0, so s = 0 is always a valid lower bound).
     colw = lane
     sidx = jnp.zeros((t2, 128), jnp.int32)
     for step in (64, 32, 16, 8, 4, 2, 1):
@@ -376,41 +410,22 @@ def _entropy_kernel(
     w_last = word_idx[:, 127:128]
     g_cs = jnp.take_along_axis(cs, sidx, axis=1)
     live = colw <= w_last
-    acc = jnp.where(live, g_cs - _shift_lanes(g_cs, 1, jnp.uint32(0)), 0)
+    ew = jnp.where(live, g_cs - _shift_lanes(g_cs, 1, jnp.uint32(0)), 0)
     lo_last = lo[:, 127:128]
-    ew = acc | jnp.where(colw == w_last + 1, lo_last, 0)  # (T2, 128) pair
-
-    # ---- tile-local exclusive offsets + global carry ----
-    pb_row = pair_bits.reshape(1, t2)    # free relayout (verified idiom)
-    incl_row = pb_row
-    k = 1
-    while k < t2:
-        incl_row = incl_row + _shift_lanes(incl_row, k, 0)
-        k *= 2
-    incl_p = incl_row.reshape(t2, 1)
-    base = carry[0]
-    off_p = base + incl_p - pair_bits
-    carry[0] = base + incl_p[t2 - 1, 0]
-    bits_ref[0, 0] = carry[0]
-    # Clamp windows into bounds (overflow is detected via total_bits).
-    max_off = (num_words - 2 * ENTRY_WORDS - 1) * 32
-    off_p = jnp.minimum(off_p, max_off)
-    off_row = jnp.minimum(base + incl_row - pb_row, max_off)  # (1, T2)
+    ew = ew | jnp.where(colw == w_last + 1, lo_last, 0)  # aligned (T2, 128)
 
     # ---- wide contribution prep ----
-    # Align the pair buffer to the absolute word grid (per-sublane shift),
-    # rotate it to its output lane position with a per-sublane lane gather
-    # (a per-row dynamic roll), and split into the two 128-word output
-    # rows it can span: a pair occupies <= 111 aligned words, so from any
-    # start lane <= 127 it ends before word 256 — two rows, never three.
-    sbit = (off_p & 31).astype(jnp.uint32)
-    spill = jnp.where(sbit == 0, jnp.uint32(0), ew << (32 - sbit))
-    sh = (ew >> sbit) | _shift_lanes(spill, 1, jnp.uint32(0))
+    # Rotate the (already grid-aligned) pair buffer to its output lane
+    # position with a per-sublane lane gather (a per-row dynamic roll) and
+    # split it into the two 128-word output rows it can span: a pair
+    # occupies <= 111 aligned words (31 phase bits + 128 slots * 27 bits,
+    # + spill), so from any start lane <= 127 it ends before word 256 —
+    # two rows, never three.
     q_a = off_p >> 5
     r_a = q_a >> 7                       # (T2, 1) first output row of pair
     l_a = q_a & 127
     w_rel = (lane - l_a) & 127
-    rot = jnp.take_along_axis(sh, w_rel, axis=1)
+    rot = jnp.take_along_axis(ew, w_rel, axis=1)
     c0 = jnp.where(lane >= l_a, rot, 0)
     c1 = jnp.where(lane < l_a, rot, 0)
 

@@ -161,15 +161,16 @@ def marshal_scan_inputs(
             .reshape(-1, hv, 64)
         )
     y_mcu = sup[:m]  # (m, hv, 64)
-    if v == 1 and h == 2:
-        # 4:2:2 fast interleave: each MCU is exactly two 128-lane rows,
-        # [Y_2k|Y_2k+1] then [Cb_k|Cr_k]. Interleaving rows of equal-width
-        # arrays is a LANE concat plus a free reshape: (m, 256) row-major
-        # IS rows [y2[k], cb[k]|cr[k]] alternating. Both the general
-        # (m, 2, 64)+(m, 1, 64)+(m, 1, 64) i16 concat and a stack-based
+    if v == 1:
+        # 4:2:2 / 4:4:4 fast interleave: each MCU's h luma blocks are
+        # CONSECUTIVE row-major rows, so the whole MCU flattens to one
+        # (64 * bpm)-lane row [Y_hk..Y_hk+h-1 | Cb_k | Cr_k] and the
+        # interleave is a LANE concat plus a free reshape: (m, 64 * bpm)
+        # row-major IS the scan-entry sequence. Both the general
+        # (m, hv, 64)+(m, 1, 64)+(m, 1, 64) i16 concat and a stack-based
         # interleave pick pathological TPU layouts here (measured 3.2 /
         # 8.2 ms in situ vs sub-ms for this form; tools/exp_marshal422).
-        y2 = y_mcu.reshape(m, 128)
+        y2 = y_mcu.reshape(m, 64 * hv)
         rows = jnp.concatenate(
             [y2, cb_coeffs[:m], cr_coeffs[:m]], axis=1
         ).reshape(m * bpm, 64)

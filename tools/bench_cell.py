@@ -1,0 +1,62 @@
+"""One matrix cell, fast: `python tools/bench_cell.py 4:4:4 [bin]`.
+
+Same methodology as tools/bench_matrix.py (payloads materialized,
+enqueue-K + scalar fetch), one (ratio, algorithm) configuration only —
+for quick A/B iteration on kernel changes.
+"""
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+import numpy as np
+
+from jpeg_encoder_tpu import pipeline
+from jpeg_encoder_tpu.config import DctAlgorithm, EncoderConfig
+from jpeg_encoder_tpu.config import parse_subsampling_ratio
+
+H, W, B = 1088, 1920, 8
+MIN_TIMED_SECONDS = 3.0
+ratio = parse_subsampling_ratio(sys.argv[1]) if len(sys.argv) > 1 else (4, 4, 4)
+algo = DctAlgorithm.BIN_DCT if "bin" in sys.argv[2:] else DctAlgorithm.REAL_DCT
+
+key = jax.random.key(0)
+base = jax.random.uniform(key, (B, H // 8, W // 8, 3))
+img = jax.image.resize(base, (B, H, W, 3), "linear")
+noise = jax.random.uniform(jax.random.key(100), (B, H, W, 3)) * 0.1
+images = ((img * 0.9 + noise) * 255).astype(jnp.uint8)
+
+config = EncoderConfig(subsampling_ratio=ratio, dct_algorithm=algo)
+geom = config.geometry(W, H)
+cap = pipeline.default_capacity_bytes(geom, config.capacity_bytes_per_pixel)
+
+
+@jax.jit
+def go(imgs):
+    def one(rgb):
+        out = pipeline.encode_core(rgb, geom, algo, cap, with_coeffs=False)
+        return out["payload"], out["total_bits"]
+    return jax.vmap(one)(imgs)
+
+
+def timed_run(iters):
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        _, bits = go(images)
+    np.asarray(bits[0])
+    return time.perf_counter() - t0
+
+
+_, bits = go(images)
+_ = np.asarray(bits[0])
+for _ in range(2):
+    timed_run(1)
+est = timed_run(4) / 4
+iters = max(8, min(2048, int(MIN_TIMED_SECONDS / max(est, 1e-5))))
+dt = timed_run(iters) / iters
+print(f"{':'.join(map(str, ratio))} {algo.value}: {dt*1e3:.2f} ms/batch  "
+      f"{B*H*W/dt/1e6:.0f} Mpix/s")

@@ -1,13 +1,20 @@
 """Experiment: fused entropy kernel section cost map (dev).
 
-Times truncated variants of the fused kernel (a derived copy with a `stage`
-knob) to attribute the ~17.5 ns/entry to its sections:
+Times truncated variants of the fused kernel (a derived copy of
+kernels/entropy_pallas._entropy_kernel with a `stage` knob) to attribute
+the per-entry cost to its sections:
 
-  sym      symbolization only (run-length state, bit lengths, amplitudes)
+  load     tile read + i32 widen only (the per-stage floor)
+  dc       + in-kernel DC differencing (static scan-order lookbacks)
+  sym      + run-length state, bit lengths, amplitudes, symbols
   gather   + Huffman gathers + slot bits/lens
-  pack     + pair-local cumsum + word staircase + binary search (ew)
-  prep     + tile offsets + alignment/rotation + quad merge (scratch writes)
-  full     + sequential RMW assembly (the production kernel)
+  prep_off + pair-bit MXU cumsum + tile-offset scan + carry
+  pack_pre + phase-folded slot offsets + word staircase + contribs
+  pack_cs  + chunked-MXU u32 prefix sum over slot contributions
+  pack     + 7-step binary search + segment-difference word extraction
+  prep_rot + per-pair rotation gather + row split
+  prep     + one-hot row-assignment build
+  full     + matmul scatter + window RMW (the production kernel)
 
 Each truncated stage writes an OR-reduction of its live arrays into
 out_ref[0:8] so nothing is DCE'd; the reduction cost (~2% of a stage) is
@@ -17,6 +24,7 @@ is untouched.
     python tools/exp_kernel_sections.py [ratio]
 """
 import functools
+import os
 import sys
 import time
 
@@ -41,21 +49,20 @@ geom = config.geometry(W, H)
 cap = pipeline.default_capacity_bytes(geom, config.capacity_bytes_per_pixel)
 
 TILE = ep.TILE
+ROWS_LOC = 64
 
 
 def _kernel(
-    z_ref, dcdiff_ref, lut_ref, live_ref, out_ref, bits_ref,
-    c0s, c1s, c2s, rloc, carry, acc2,
+    z_ref, lut_ref, live_ref, init_ref, out_ref, bits_ref,
+    c0s, c1s, rloc, carry, dc_carry,
     *, tile, num_entries, blocks_per_mcu, hv, num_words, lut_scalars,
-    n_chains, stage,
+    stage,
 ):
     pid = pl.program_id(0)
 
     @pl.when(pid == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
-        if n_chains > 1:
-            acc2[:] = jnp.zeros_like(acc2)
         carry[0] = 0
 
     t2 = tile // 2
@@ -71,16 +78,64 @@ def _kernel(
     def finish(*arrs):
         red = jnp.zeros((8, 128), jnp.uint32)
         for a in arrs:
-            a = a.astype(jnp.uint32) if a.dtype != jnp.uint32 else a
+            if a.dtype != jnp.uint32:
+                # Mosaic has no f32->u32 vector cast; route through i32.
+                a = a.astype(jnp.int32).astype(jnp.uint32)
             r = a
-            k = t2 // 8
-            # log-step sublane fold to (8, 128)
             while r.shape[0] > 8:
                 hlf = r.shape[0] // 2
                 r = r[:hlf] | r[hlf:]
+            while r.shape[1] > 128:
+                hlf = r.shape[1] // 2
+                r = r[:, :hlf] | r[:, hlf:]
             red = red | r
         out_ref[0:8, :] = out_ref[0:8, :] | red
         bits_ref[0, 0] = 0
+
+    if stage == "load":
+        finish(z)
+        return
+
+    # ---- in-kernel DC differencing (mirrors production) ----
+    bpm = blocks_per_mcu
+    dcs = jnp.where(lane64 == 0, z, 0)
+    ext = jnp.concatenate([dc_carry[:], dcs], axis=0)
+    swap = pltpu.roll(ext, 64, 1)
+
+    def back(src, s):
+        return src[8 - s : 8 - s + t2, :]
+
+    def prev_full(d):
+        if d % 2 == 0:
+            return back(ext, d // 2)
+        return jnp.where(
+            half, back(swap, (d - 1) // 2), back(swap, (d + 1) // 2)
+        )
+
+    d_first = bpm - hv + 1
+    dists = sorted({1, d_first, bpm} if hv > 1 else {d_first})
+    prevs = {d: prev_full(d) for d in dists}
+    pos = entry_idx % bpm
+    init = jnp.where(
+        pos < hv, init_ref[0, 0],
+        jnp.where(pos == hv, init_ref[0, 1], init_ref[0, 2]),
+    )
+    if hv > 1:
+        d = jnp.where(pos >= hv, bpm, jnp.where(pos == 0, d_first, 1))
+        sel = jnp.where(
+            pos >= hv, prevs[bpm],
+            jnp.where(pos == 0, prevs[d_first], prevs[1]),
+        )
+    else:
+        d = d_first
+        sel = prevs[d_first]
+    prev = jnp.where(entry_idx < d, init, sel)
+    z = jnp.where(lane64 == 0, z - prev, z)
+    dc_carry[:] = dcs[t2 - 8 :, :]
+
+    if stage == "dc":
+        finish(z)
+        return
 
     nz_marker = jnp.where((z != 0) & (lane64 > 0), lane64, 0)
     cm = nz_marker
@@ -99,18 +154,11 @@ def _kernel(
     ac_bl = ep._bit_length_f32(jnp.abs(z))
     ac_sym = ((zeros_before & 15) << 4) | ac_bl
     ac_ampl = jnp.where(z < 0, z + (1 << ac_bl) - 1, z) & ((1 << ac_bl) - 1)
-
-    d2 = dcdiff_ref[:]
-    diff = jnp.where(half, d2[:, 1:2], d2[:, 0:1])
-    dc_bl = ep._bit_length_f32(jnp.abs(diff))
-    dc_ampl = jnp.where(diff < 0, diff + (1 << dc_bl) - 1, diff) & (
-        (1 << dc_bl) - 1
-    )
     is_dc = lane64 == 0
-    sym = jnp.where(is_dc, (dc_bl + 1) << 4, ac_sym)
+    sym = jnp.where(is_dc, (ac_bl + 1) << 4, ac_sym)
 
     if stage == "sym":
-        finish(sym, ac_ampl, dc_ampl, run_dist, last_nz)
+        finish(sym, ac_ampl, run_dist, last_nz)
         return
 
     def bc(row):
@@ -137,10 +185,8 @@ def _kernel(
         )
         cl = jnp.where(is_luma, y_cl, c_cl)
 
-    ampl = jnp.where(is_dc, dc_ampl, ac_ampl)
-    bl = jnp.where(is_dc, dc_bl, ac_bl)
-    coded_bits = ((cl & 0xFFFFF) << bl) | ampl
-    coded_len = (cl >> 20) + bl
+    coded_bits = ((cl & 0xFFFFF) << ac_bl) | ac_ampl
+    coded_len = (cl >> 20) + ac_bl
 
     zrl_y, zrl_c, eob_y, eob_c = lut_scalars
     zrl_here = (
@@ -170,7 +216,6 @@ def _kernel(
         finish(slot_bits, slot_lens)
         return
 
-    # Pair-local inclusive prefix: MXU triangular matmul (as production).
     ii = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
     tri = (ii <= jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)).astype(
         jnp.bfloat16
@@ -179,9 +224,69 @@ def _kernel(
         slot_lens.astype(jnp.bfloat16), tri,
         preferred_element_type=jnp.float32,
     ).astype(jnp.int32)
-    local_off = incl - slot_lens
     pair_bits = incl[:, 127:128]
 
+    import os as _os
+    scanform = _os.environ.get("SCANFORM", "lane")
+    base = carry[0]
+    max_off = (num_words - 2 * ep.ENTRY_WORDS - 1) * 32
+    if scanform == "lane":
+        pb_row = pair_bits.reshape(1, t2)
+        incl_row = pb_row
+        k = 1
+        while k < t2:
+            incl_row = incl_row + ep._shift_lanes(incl_row, k, 0)
+            k *= 2
+        incl_p = incl_row.reshape(t2, 1)
+        carry[0] = base + incl_p[t2 - 1, 0]
+        off_p = jnp.minimum(base + incl_p - pair_bits, max_off)
+        off_row = jnp.minimum(base + incl_row - pb_row, max_off)
+    else:
+        if scanform == "sublane":
+            incl_p = pair_bits
+            rr = jax.lax.broadcasted_iota(jnp.int32, (t2, 1), 0)
+            k = 1
+            while k < t2:
+                incl_p = incl_p + jnp.where(
+                    rr >= k, pltpu.roll(incl_p, k, 0), 0
+                )
+                k *= 2
+        elif scanform == "mxu":
+            # (t2, 1) -> (t2//128, 128) row-major, intra-row prefix via
+            # two 8-bit-chunk tri matmuls, cross-row offsets via a tiny
+            # sublane scan on the row totals.
+            g = pair_bits.reshape(t2 // 128, 128)
+            tri_i = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+            tri2 = (tri_i <= jax.lax.broadcasted_iota(
+                jnp.int32, (128, 128), 1)).astype(jnp.bfloat16)
+            pref = jnp.zeros_like(g)
+            for kk in range(2):
+                ck = ((g >> (8 * kk)) & 0xFF).astype(jnp.bfloat16)
+                pk = jnp.dot(ck, tri2, preferred_element_type=jnp.float32)
+                pref = pref + (pk.astype(jnp.int32) << (8 * kk))
+            rows_tot = pref[:, 127:128]              # (t2/128, 1)
+            rr = jax.lax.broadcasted_iota(
+                jnp.int32, (t2 // 128, 1), 0)
+            s = rows_tot
+            k = 1
+            while k < t2 // 128:
+                s = s + jnp.where(rr >= k, pltpu.roll(s, k, 0), 0)
+                k *= 2
+            incl_p = (pref + (s - rows_tot)).reshape(t2, 1)
+        else:
+            raise ValueError(scanform)
+        carry[0] = base + incl_p[t2 - 1, 0]
+        exc = incl_p - pair_bits
+        off_p = jnp.minimum(base + exc, max_off)
+        off_row = jnp.minimum(base + exc.reshape(1, t2), max_off)
+    bits_ref[0, 0] = carry[0]
+
+    if stage == "prep_off":
+        finish(off_p, off_row, incl)
+        return
+
+    sbit = off_p & 31
+    local_off = incl - slot_lens + sbit
     start = local_off & 31
     end = start + slot_lens
     shift_hi = jnp.clip(32 - end, 0, 31).astype(jnp.uint32)
@@ -201,27 +306,18 @@ def _kernel(
     if stage == "pack_pre":
         finish(contrib, word_idx, pair_bits)
         return
-    if stage == "pack_csmm":
-        # Candidate: u32 prefix sum as four 8-bit-chunk MXU matmuls
-        # (each chunk < 256 is bf16-exact; f32 partials < 2^24; u32
-        # wraparound on recombine keeps differences exact).
-        cs = jnp.zeros_like(contrib)
-        for kk in range(4):
-            ck = (
-                ((contrib >> (8 * kk)) & 0xFF)
-                .astype(jnp.int32).astype(jnp.bfloat16)
-            )
-            csk = jnp.dot(ck, tri, preferred_element_type=jnp.float32)
-            cs = cs + (csk.astype(jnp.int32).astype(jnp.uint32) << (8 * kk))
-    else:
-        cs = contrib
-        k = 1
-        while k < 128:
-            cs = cs + ep._shift_lanes(cs, k, jnp.uint32(0))
-            k *= 2
+
+    cs = jnp.zeros_like(contrib)
+    for kk in range(4):
+        ck = ((contrib >> (8 * kk)) & 0xFF).astype(jnp.int32).astype(
+            jnp.bfloat16
+        )
+        csk = jnp.dot(ck, tri, preferred_element_type=jnp.float32)
+        cs = cs + (csk.astype(jnp.int32).astype(jnp.uint32) << (8 * kk))
     if stage == "pack_cs":
         finish(cs, word_idx, pair_bits)
         return
+
     colw = lane
     sidx = jnp.zeros((t2, 128), jnp.int32)
     for step in (64, 32, 16, 8, 4, 2, 1):
@@ -231,99 +327,59 @@ def _kernel(
     w_last = word_idx[:, 127:128]
     g_cs = jnp.take_along_axis(cs, sidx, axis=1)
     live = colw <= w_last
-    acc = jnp.where(live, g_cs - ep._shift_lanes(g_cs, 1, jnp.uint32(0)), 0)
+    ew = jnp.where(live, g_cs - ep._shift_lanes(g_cs, 1, jnp.uint32(0)), 0)
     lo_last = lo[:, 127:128]
-    ew = acc | jnp.where(colw == w_last + 1, lo_last, 0)
+    ew = ew | jnp.where(colw == w_last + 1, lo_last, 0)
 
-    if stage in ("pack", "pack_csmm"):
+    if stage == "pack":
         finish(ew, pair_bits)
         return
 
-    incl_p = pair_bits.reshape(1, t2)
-    k = 1
-    while k < t2:
-        incl_p = incl_p + ep._shift_lanes(incl_p, k, 0)
-        k *= 2
-    incl_p = incl_p.reshape(t2, 1)
-    base = carry[0]
-    off_p = base + incl_p - pair_bits
-    carry[0] = base + incl_p[t2 - 1, 0]
-    bits_ref[0, 0] = carry[0]
-    max_off = (num_words - 2 * ep.ENTRY_WORDS - 1) * 32
-    off_p = jnp.minimum(off_p, max_off)
-
-    sbit = (off_p & 31).astype(jnp.uint32)
-    spill = jnp.where(sbit == 0, jnp.uint32(0), ew << (32 - sbit))
-    sh = (ew >> sbit) | ep._shift_lanes(spill, 1, jnp.uint32(0))
     q_a = off_p >> 5
     r_a = q_a >> 7
     l_a = q_a & 127
     w_rel = (lane - l_a) & 127
-    rot = jnp.take_along_axis(sh, w_rel, axis=1)
+    rot = jnp.take_along_axis(ew, w_rel, axis=1)
     c0 = jnp.where(lane >= l_a, rot, 0)
     c1 = jnp.where(lane < l_a, rot, 0)
-    r_next = pltpu.roll(r_a, t2 - 1, 0)
-    d = r_next - r_a
-    c0n = pltpu.roll(c0, t2 - 1, 0)
-    c1n = pltpu.roll(c1, t2 - 1, 0)
-    c0s[:] = c0 | jnp.where(d == 0, c0n, 0)
-    c1s[:] = c1 | jnp.where(d == 0, c1n, jnp.where(d == 1, c0n, 0))
-    c2s[:] = jnp.where(d == 1, c1n, 0)
-    rloc[:] = r_a
-
-    if stage == "prep":
-        # scratch writes above are the payload; fold a token dependency.
-        out_ref[0:8, :] = out_ref[0:8, :] | c0s[0:8, :]
+    if stage == "prep_rot":
+        finish(c0, c1)
         return
 
     nrows = out_ref.shape[0]
+    r_first = jnp.minimum(base >> 12, nrows - ROWS_LOC)
+    r_rel = (off_row >> 12) - r_first
+    ii_r = jax.lax.broadcasted_iota(jnp.int32, (ROWS_LOC, t2), 0)
+    a0 = (ii_r == r_rel).astype(jnp.bfloat16)
+    a1 = (ii_r == r_rel + 1).astype(jnp.bfloat16)
 
-    def rmw(target, band, p):
-        r = band * nrows + rloc[p, 0]
-        contrib = jnp.concatenate(
-            [c0s[pl.ds(p, 1), :], c1s[pl.ds(p, 1), :], c2s[pl.ds(p, 1), :]],
-            axis=0,
+    if stage == "prep":
+        finish(c0, c1, a0.astype(jnp.float32), a1.astype(jnp.float32))
+        return
+
+    acc_loc = jnp.zeros((ROWS_LOC, 128), jnp.uint32)
+    for kk in range(4):
+        c0k = ((c0 >> (8 * kk)) & 0xFF).astype(jnp.int32).astype(jnp.bfloat16)
+        c1k = ((c1 >> (8 * kk)) & 0xFF).astype(jnp.int32).astype(jnp.bfloat16)
+        s = jnp.dot(a0, c0k, preferred_element_type=jnp.float32) + (
+            jnp.dot(a1, c1k, preferred_element_type=jnp.float32)
         )
-        cur = target[pl.ds(r, 3), :]
-        target[pl.ds(r, 3), :] = cur | contrib
-
-    if n_chains == 1:
-        def body(i, _):
-            rmw(out_ref, 0, 2 * i)
-            return 0
-
-        jax.lax.fori_loop(0, t2 // 2, body, 0, unroll=False)
-    else:
-        def body(i, _):
-            rmw(out_ref, 0, 2 * n_chains * i)
-            for k in range(1, n_chains):
-                rmw(acc2, k - 1, 2 * (n_chains * i + k))
-            return 0
-
-        jax.lax.fori_loop(0, t2 // (2 * n_chains), body, 0, unroll=False)
-
-        @pl.when(pid == pl.num_programs(0) - 1)
-        def _():
-            merged = out_ref[:]
-            for k in range(n_chains - 1):
-                merged = merged | acc2[k * nrows : (k + 1) * nrows, :]
-            out_ref[:] = merged
+        acc_loc = acc_loc | (s.astype(jnp.int32).astype(jnp.uint32) << (8 * kk))
+    cur = out_ref[pl.ds(r_first, ROWS_LOC), :]
+    out_ref[pl.ds(r_first, ROWS_LOC), :] = cur | acc_loc
 
 
-def run_stage(z, dc_diff, stage):
+def run_stage(z, stage):
     num_entries = geom.num_mcus * geom.blocks_per_mcu
     num_words = cap // 4
-    rows = -(-(num_words // 128 + 3) // 8) * 8
-    n_chains = min(8, max(1, (32 * (1 << 20)) // cap))
-    n_chains = 1 << (n_chains.bit_length() - 1)
+    rows = -(-(num_words // 128 + ROWS_LOC + 1) // 8) * 8
     padded_e = -(-num_entries // TILE) * TILE
     if padded_e != num_entries:
         pad = padded_e - num_entries
         z = jnp.concatenate([z, jnp.zeros((pad, 64), z.dtype)])
-        dc_diff = jnp.concatenate([dc_diff, jnp.zeros((pad,), dc_diff.dtype)])
     z2 = z.reshape(padded_e // 2, 128)
-    d2 = dc_diff.astype(jnp.int32).reshape(padded_e // 2, 2)
     live2 = jnp.full((1, 1), num_entries, jnp.int32)
+    init2 = jnp.zeros((1, 3), jnp.int32)
     kernel = functools.partial(
         _kernel,
         tile=TILE,
@@ -332,7 +388,6 @@ def run_stage(z, dc_diff, stage):
         hv=geom.h_factor * geom.v_factor,
         num_words=num_words,
         lut_scalars=ep._lut_scalars(),
-        n_chains=n_chains,
         stage=stage,
     )
     t2 = TILE // 2
@@ -341,9 +396,9 @@ def run_stage(z, dc_diff, stage):
         grid=(padded_e // TILE,),
         in_specs=[
             pl.BlockSpec((t2, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((t2, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec((rows, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -356,16 +411,14 @@ def run_stage(z, dc_diff, stage):
         scratch_shapes=[
             pltpu.VMEM((t2, 128), jnp.uint32),
             pltpu.VMEM((t2, 128), jnp.uint32),
-            pltpu.VMEM((t2, 128), jnp.uint32),
             pltpu.VMEM((t2, 1), jnp.int32),
             pltpu.SMEM((1,), jnp.int32),
-            pltpu.VMEM(((n_chains - 1) * rows if n_chains > 1 else 8, 128),
-                       jnp.uint32),
+            pltpu.VMEM((8, 128), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(z2, d2, jnp.asarray(ep._lut_rows()), live2)
+    )(z2, jnp.asarray(ep._lut_rows()), live2, init2)
     return out
 
 
@@ -376,20 +429,22 @@ def main():
         (rng.integers(-40, 40, (B, E, 64)) * (rng.random((B, E, 64)) < 0.22)),
         jnp.int16,
     )
-    d = jnp.asarray(rng.integers(-60, 60, (B, E)), jnp.int32)
     print(f"ratio {RATIO}, E={E}, tiles/img={-(-E // TILE)}")
     prev = 0.0
-    for stage in ("sym", "gather", "pack_pre", "pack_cs", "pack", "pack_csmm", "prep", "full"):
+    all_stages = ("load", "dc", "sym", "gather", "prep_off", "pack_pre",
+                  "pack_cs", "pack", "prep_rot", "prep", "full")
+    sel = os.environ.get("STAGES")
+    for stage in (sel.split(",") if sel else all_stages):
         f = jax.jit(functools.partial(
-            lambda zz, dd, s: jax.vmap(lambda a, b: run_stage(a, b, s))(zz, dd),
+            lambda zz, s: jax.vmap(lambda a: run_stage(a, s))(zz),
             s=stage,
         ))
-        out = f(z, d)
+        out = f(z)
         _ = np.asarray(out[0, 0, 0])
         t0 = time.perf_counter()
         iters = 60
         for _ in range(iters):
-            out = f(z, d)
+            out = f(z)
         _ = np.asarray(out[0, 0, 0])
         dt = (time.perf_counter() - t0) / iters * 1e3
         ns = dt * 1e6 / (B * E)
