@@ -35,6 +35,7 @@ that global misalignment, and no real image hits it deliberately.
 from __future__ import annotations
 
 import functools
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -42,23 +43,25 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from jpeg_encoder_tpu import pipeline, tables
+from jpeg_encoder_tpu import pipeline
 from jpeg_encoder_tpu.config import DctAlgorithm, EncoderConfig, FrameGeometry
 from jpeg_encoder_tpu.io import jfif
-from jpeg_encoder_tpu.ops import color, dct, entropy, sample
+from jpeg_encoder_tpu.ops import color, entropy, sample
 from jpeg_encoder_tpu.parallel.mesh import DATA_AXIS
 from jpeg_encoder_tpu.utils.bits import splice_bitstreams
 
 
-def _check_tileable(geom: FrameGeometry, n_dev: int) -> None:
-    if geom.chroma_width != geom.padded_width // geom.h_factor or (
-        geom.chroma_height != geom.padded_height // geom.v_factor
-    ):
-        raise ValueError(
-            "tiled encode requires aligned luma/chroma grids; "
-            f"dimensions {geom.width}x{geom.height} hit the reference's "
-            "dim % (8*factor) == 1 misalignment quirk"
-        )
+def tileable(geom: FrameGeometry) -> bool:
+    """Band-local encoding requires aligned luma/chroma grids.
+
+    dim % (8*factor) == 1 images hit the reference's global chroma/luma
+    grid misalignment (sampling.rs:63-101, pixel_matrix.rs:35-44; see
+    oracle.subsample_plane) which band-local encoding cannot reproduce —
+    encode_tiled falls back to the single-device path for them.
+    """
+    return geom.chroma_width == geom.padded_width // geom.h_factor and (
+        geom.chroma_height == geom.padded_height // geom.v_factor
+    )
 
 
 def _band_rows(geom: FrameGeometry, n_dev: int) -> int:
@@ -73,11 +76,16 @@ def _live_mcu_rows(geom: FrameGeometry, n_dev: int, idx: int) -> int:
 
 def _encode_band(rgb_band, band_geom, algorithm, capacity, fast_dct,
                  bin_dct_descale, init_dc, live_entries=None,
-                 packer="xla", live_px_rows=None, quality=None):
+                 packer="xla", live_px_rows=None, quality=None,
+                 transposed_dct=None):
     """One band's full compute: planes -> coefficients -> packed bits.
 
     Shared between the shard_map program and the single-band overflow
-    retry so both are the same arithmetic (byte-identical outputs).
+    retry so both are the same arithmetic (byte-identical outputs). The
+    DCT runs through pipeline.dct_planes_zigzag — the SAME production
+    kernels as the batch path (the transposed-layout Pallas kernels on
+    TPU), with in-kernel DC differencing seeded from this band's
+    ppermuted predecessors when a Pallas kernel made the coefficients.
 
     init_dc is either the (3,) initial DC predictors, or a callable that
     maps this band's final (Y, Cb, Cr) DC values to its predictors — the
@@ -101,24 +109,18 @@ def _encode_band(rgb_band, band_geom, algorithm, capacity, fast_dct,
     cb = sample.subsample_plane(sample.pad_plane(cb, band_geom), band_geom)
     cr = sample.subsample_plane(sample.pad_plane(cr, band_geom), band_geom)
 
-    q_luma, q_chroma = tables.scaled_quant_tables(quality)
-    y_q = dct.dct_quantize(
-        sample.blockify(y), q_luma, algorithm, fast_dct,
-        bin_dct_descale=bin_dct_descale,
-    )
-    cb_q = dct.dct_quantize(
-        sample.blockify(cb), q_chroma, algorithm, fast_dct,
-        bin_dct_descale=bin_dct_descale,
-    )
-    cr_q = dct.dct_quantize(
-        sample.blockify(cr), q_chroma, algorithm, fast_dct,
-        bin_dct_descale=bin_dct_descale,
+    y_q, cb_q, cr_q, pallas_planes = pipeline.dct_planes_zigzag(
+        sample.blockify(y), sample.blockify(cb), sample.blockify(cr),
+        algorithm, fast_dct, bin_dct_descale, quality, transposed_dct,
     )
     if callable(init_dc):
+        # DC sits at column 0 in zigzag order too, so final_dc reads the
+        # same values it would from natural-order coefficients.
         init_dc = init_dc(entropy.final_dc(y_q, cb_q, cr_q, band_geom))
     payload, bits = entropy.encode_scan(
         y_q, cb_q, cr_q, band_geom, capacity, init_dc=init_dc,
-        live_entries=live_entries, packer=packer,
+        live_entries=live_entries, packer=packer, coeffs_zigzagged=True,
+        dc_in_kernel=True if pallas_planes else None,
     )
     return payload, bits, init_dc
 
@@ -133,6 +135,7 @@ def compiled_tiled_encoder(
     bin_dct_descale: bool = False,
     quality: int | None = None,
     replicate_out: bool = False,
+    transposed_dct: bool | None = None,
 ):
     """Jitted (n_dev * band_h, W, 3) -> ((n_dev, cap) payloads,
     (n_dev,) bit lengths, (n_dev, 3) per-band initial DC predictors).
@@ -174,7 +177,7 @@ def compiled_tiled_encoder(
         payload, bits, prev = _encode_band(
             rgb_band, band_geom, algorithm, capacity, fast_dct,
             bin_dct_descale, chain, live_entries, packer, live_px_rows,
-            quality,
+            quality, transposed_dct,
         )
         return payload[None], bits[None], prev[None]
 
@@ -201,6 +204,7 @@ def compiled_band_encoder(
     fast_dct: bool = False,
     bin_dct_descale: bool = False,
     quality: int | None = None,
+    transposed_dct: bool | None = None,
 ):
     """Jitted single-band re-encode for overflow retry: (band_h, W, 3) uint8
     + (3,) int32 init_dc -> ((capacity,) payload, bits). Runs the exact
@@ -214,6 +218,7 @@ def compiled_band_encoder(
             bin_dct_descale, init_dc,
             packer=pipeline.default_packer(capacity),
             live_px_rows=live_px_rows, quality=quality,
+            transposed_dct=transposed_dct,
         )
         return payload, bits
 
@@ -241,7 +246,19 @@ def encode_tiled(
     height, width = rgb.shape[:2]
     geom = config.geometry(width, height)
     n_dev = mesh.devices.size
-    _check_tileable(geom, n_dev)
+    if not tileable(geom):
+        # The reference accepts these inputs (main.rs:8-68), so refusing
+        # them from an advertised mode would be a parity gap: encode on
+        # one device instead, byte-identically, and say so.
+        warnings.warn(
+            f"dimensions {geom.width}x{geom.height} hit the reference's "
+            "dim % (8*factor) == 1 chroma-grid misalignment quirk, which "
+            "band-local encoding cannot reproduce; falling back to a "
+            "single-device encode",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return pipeline.encode_array(rgb, config)
 
     band_rows = _band_rows(geom, n_dev)
     band_h = band_rows * 8 * geom.v_factor
@@ -270,6 +287,7 @@ def encode_tiled(
     encoder = compiled_tiled_encoder(
         mesh, geom, config.dct_algorithm, capacity, config.fast_dct,
         config.bin_dct_descale, config.quality, replicate_out=multi,
+        transposed_dct=config.transposed_dct,
     )
     payloads, bit_lengths, init_dcs = encoder(device_rgb)
     bit_lengths = np.asarray(bit_lengths)
@@ -328,7 +346,7 @@ def _retry_band(
         capacity = pipeline.next_capacity_bytes(live_geom, capacity)
         payload, bits = compiled_band_encoder(
             live_geom, config.dct_algorithm, capacity, config.fast_dct,
-            config.bin_dct_descale, config.quality,
+            config.bin_dct_descale, config.quality, config.transposed_dct,
         )(band_rgb, init, live_px)
         bits = int(bits)
         if bits <= 8 * capacity:

@@ -86,6 +86,67 @@ def default_packer(capacity_bytes: int) -> str:
     return "xla"
 
 
+def dct_planes_zigzag(
+    y_blocks: jnp.ndarray,
+    cb_blocks: jnp.ndarray,
+    cr_blocks: jnp.ndarray,
+    algorithm: DctAlgorithm,
+    fast_dct: bool = False,
+    bin_dct_descale: bool = False,
+    quality: int | None = None,
+    transposed_dct: bool | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, bool]:
+    """Blockified planes -> zigzag quantized coefficients (production path).
+
+    The single source of truth for the DCT implementation choice, shared by
+    the batch pipeline (encode_core) and the MCU-band-sharded path
+    (parallel/tiled.py) so both run identical arithmetic. transposed_dct
+    None = auto: the Pallas transposed-layout kernels on TPU — never slower
+    than the XLA ordered-chain fusion, whose emitter windowing is bistable
+    and program-structure-dependent (1529/1146/801 vs 1527/960/753 Mpix/s
+    at 4:2:0/4:2:2/4:4:4; chip_session.log r2) — and the XLA chains on CPU
+    backends, where Pallas only runs in interpret mode. All paths are
+    bit-exact vs the reference semantics (dct_quant.rs:189-234 for RealDCT,
+    :67-187 for binDCT), so outputs are identical either way.
+
+    Returns (y_z, cb_z, cr_z, pallas_planes); pallas_planes=True means a
+    Pallas kernel produced the coefficients — callers then force in-kernel
+    DC differencing, which is strictly better when no XLA chain fusion
+    exists in the program (ops/entropy.encode_scan).
+    """
+    if transposed_dct is None:
+        transposed_dct = jax.default_backend() == "tpu"
+    if transposed_dct and algorithm == DctAlgorithm.REAL_DCT and not fast_dct:
+        from jpeg_encoder_tpu.kernels import dct_pallas
+
+        y_z, cb_z, cr_z = dct_pallas.real_dct_quant_planes_zigzag_pallas_t(
+            y_blocks, cb_blocks, cr_blocks,
+            interpret=jax.default_backend() != "tpu", quality=quality,
+        )
+        return y_z, cb_z, cr_z, True
+    if (
+        transposed_dct
+        and algorithm == DctAlgorithm.BIN_DCT
+        and not bin_dct_descale
+    ):
+        # The register-resident transposed lifting kernel beats the XLA
+        # lifting fusion at every ratio (its (N, 8, 8) shapes pad 16x
+        # under TPU tiling): 1427/1078/742 vs 1361/1025/679 Mpix/s
+        # e2e at 4:2:0/4:2:2/4:4:4 (chip_session.log r2).
+        from jpeg_encoder_tpu.kernels import dct_pallas
+
+        y_z, cb_z, cr_z = dct_pallas.bin_dct_quant_planes_zigzag_pallas_t(
+            y_blocks, cb_blocks, cr_blocks,
+            interpret=jax.default_backend() != "tpu", quality=quality,
+        )
+        return y_z, cb_z, cr_z, True
+    y_z, cb_z, cr_z = dct.dct_quantize_planes(
+        y_blocks, cb_blocks, cr_blocks, algorithm, fast_dct,
+        zigzag_out=True, bin_dct_descale=bin_dct_descale, quality=quality,
+    )
+    return y_z, cb_z, cr_z, False
+
+
 def encode_core(
     rgb: jnp.ndarray,
     geom: FrameGeometry,
@@ -138,48 +199,10 @@ def encode_core(
         # un-permuted below either way. All three planes run through one
         # transform chain with a per-row quant-table select (bit-identical
         # to per-plane calls, one fusion instead of three).
-        if transposed_dct is None:
-            # Auto (TPU): the Pallas transposed chain is never slower
-            # than the XLA ordered-chain fusion (whose emitter windowing
-            # is bistable and program-structure-dependent) and — combined
-            # with in-kernel DC differencing — is decisively faster off
-            # the 4:2:0 path: 1529/1146/801 vs 1527/960/753 Mpix/s at
-            # 4:2:0/4:2:2/4:4:4 (chip_session.log r2). On CPU backends
-            # the kernels only run in interpret mode (slow, for parity
-            # tests), so the XLA chains stay the default there; both
-            # sides are bit-exact, so outputs are identical either way.
-            transposed_dct = jax.default_backend() == "tpu"
-        pallas_planes_dct = False
-        if transposed_dct and algorithm == DctAlgorithm.REAL_DCT and not fast_dct:
-            from jpeg_encoder_tpu.kernels import dct_pallas
-
-            y_z, cb_z, cr_z = dct_pallas.real_dct_quant_planes_zigzag_pallas_t(
-                sample.blockify(y), sample.blockify(cb), sample.blockify(cr),
-                interpret=jax.default_backend() != "tpu", quality=quality,
-            )
-            pallas_planes_dct = True
-        elif (
-            transposed_dct
-            and algorithm == DctAlgorithm.BIN_DCT
-            and not bin_dct_descale
-        ):
-            # The register-resident transposed lifting kernel beats the XLA
-            # lifting fusion at every ratio (its (N, 8, 8) shapes pad 16x
-            # under TPU tiling): 1427/1078/742 vs 1361/1025/679 Mpix/s
-            # e2e at 4:2:0/4:2:2/4:4:4 (chip_session.log r2).
-            from jpeg_encoder_tpu.kernels import dct_pallas
-
-            y_z, cb_z, cr_z = dct_pallas.bin_dct_quant_planes_zigzag_pallas_t(
-                sample.blockify(y), sample.blockify(cb), sample.blockify(cr),
-                interpret=jax.default_backend() != "tpu", quality=quality,
-            )
-            pallas_planes_dct = True
-        else:
-            y_z, cb_z, cr_z = dct.dct_quantize_planes(
-                sample.blockify(y), sample.blockify(cb), sample.blockify(cr),
-                algorithm, fast_dct, zigzag_out=True,
-                bin_dct_descale=bin_dct_descale, quality=quality,
-            )
+        y_z, cb_z, cr_z, pallas_planes_dct = dct_planes_zigzag(
+            sample.blockify(y), sample.blockify(cb), sample.blockify(cr),
+            algorithm, fast_dct, bin_dct_descale, quality, transposed_dct,
+        )
         # The XLA-side DC merge exists only to flip the REAL ordered-chain
         # fusion's emitter windowing at 4:2:2; when a Pallas kernel
         # produced the coefficients there is no chain fusion in the

@@ -139,11 +139,17 @@ def test_tiled_encode_unpadded_height(mesh8, rng):
     assert result.file_bytes == jfif.assemble(golden.geom, golden.entropy_bytes)
 
 
-def test_tiled_rejects_quirk_width(mesh8, rng):
+def test_tiled_quirk_width_falls_back_to_single_device(mesh8, rng):
+    """width % (8h) == 1 hits the reference's global chroma-grid
+    misalignment, which band-local encoding cannot reproduce; encode_tiled
+    must fall back to the single-device path (with a warning) instead of
+    refusing an input the reference accepts (main.rs:8-68)."""
     config = EncoderConfig(subsampling_ratio=(4, 2, 0))
     rgb = rng.integers(0, 256, size=(128, 17, 3), dtype=np.uint8)
-    with pytest.raises(ValueError, match="quirk"):
-        tiled.encode_tiled(rgb, config, mesh8)
+    with pytest.warns(RuntimeWarning, match="quirk"):
+        result = tiled.encode_tiled(rgb, config, mesh8)
+    single = pipeline.encode_array(rgb, config)
+    assert result.file_bytes == single.file_bytes
 
 
 @pytest.mark.parametrize(
