@@ -1,6 +1,13 @@
 """Throughput matrix: ratios x DCT algorithms (BASELINE configs 2 & 3).
 
-Batch 8 x 1080p, device-resident inputs, enqueue-K + scalar-fetch timing.
+Batch 8 x 1080p, device-resident inputs. Timing discipline is IDENTICAL to
+bench.py (the canonical flagship bench): the jitted program returns the
+per-image payload bytes AND bit counts (so the u32->byte serialization is
+part of the measurement, exactly like a production encode), enqueue-K +
+scalar-fetch timing with the iteration count calibrated to swamp the
+tunnel's fetch RTT. The 4:2:0 real-dct row of this table and bench.py's
+JSON line are therefore the same measurement up to run noise.
+
 Prints one markdown table row per configuration.
 """
 import sys
@@ -18,6 +25,7 @@ from jpeg_encoder_tpu import pipeline
 from jpeg_encoder_tpu.config import DctAlgorithm, EncoderConfig
 
 H, W, B = 1088, 1920, 8
+MIN_TIMED_SECONDS = 3.0
 key = jax.random.key(0)
 base = jax.random.uniform(key, (B, H // 8, W // 8, 3))
 img = jax.image.resize(base, (B, H, W, 3), "linear")
@@ -38,16 +46,22 @@ for ratio in [(4, 2, 0), (4, 2, 2), (4, 4, 4)]:
             def one(rgb):
                 out = pipeline.encode_core(
                     rgb, geom, algo, cap, with_coeffs=False)
-                return out["total_bits"]
-            return jnp.sum(jax.vmap(one)(imgs))
+                return out["payload"], out["total_bits"]
+            return jax.vmap(one)(imgs)
 
-        out = go(images)
-        _ = np.asarray(out)
-        iters = 60
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = go(images)
-        _ = np.asarray(out)
-        dt = (time.perf_counter() - t0) / iters
+        def timed_run(iters):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                _, bits = go(images)
+            np.asarray(bits[0])
+            return time.perf_counter() - t0
+
+        _, bits = go(images)
+        _ = np.asarray(bits[0])
+        for _ in range(2):
+            timed_run(1)
+        est = timed_run(4) / 4
+        iters = max(8, min(2048, int(MIN_TIMED_SECONDS / max(est, 1e-5))))
+        dt = timed_run(iters) / iters
         name = ":".join(str(x) for x in ratio)
         print(f"| {name} | {algo.value} | {B*H*W/dt/1e6:.0f} |", flush=True)
