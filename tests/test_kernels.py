@@ -56,6 +56,7 @@ def test_pipeline_use_pallas_matches_oracle(algorithm, rng):
     assert device.file_bytes == jfif.assemble(golden.geom, golden.entropy_bytes)
 
 
+@pytest.mark.slow
 def test_pipeline_use_pallas_returns_natural_order_coeffs(rng):
     rgb = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
     plain = EncoderConfig(subsampling_ratio=(4, 4, 4))
@@ -105,6 +106,7 @@ def test_transposed_planes_dct_matches_ops_fusion(rng):
         assert np.array_equal(np.asarray(w), np.asarray(g))
 
 
+@pytest.mark.slow
 def test_transposed_dct_config_end_to_end(rng):
     """EncoderConfig(transposed_dct=True) must produce byte-identical files
     to the default path (any geometry, with and without quality scaling)."""
@@ -140,6 +142,7 @@ def test_transposed_planes_bindct_matches_ops(rng):
             )
 
 
+@pytest.mark.slow
 def test_transposed_dct_config_end_to_end_bindct(rng):
     """transposed_dct=True with BIN_DCT routes through the transposed
     lifting kernel and must stay byte-identical to the default path."""

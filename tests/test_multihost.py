@@ -16,6 +16,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 from jpeg_encoder_tpu import pipeline
 from jpeg_encoder_tpu.config import EncoderConfig
@@ -31,6 +32,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+@pytest.mark.slow
 def test_two_process_encode_dataset(tmp_path, rng):
     src = tmp_path / "src"
     out = tmp_path / "out"

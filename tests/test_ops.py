@@ -18,6 +18,7 @@ def test_color_conversion_matches_oracle_random(rng):
     assert np.array_equal(np.asarray(crd), cre)
 
 
+@pytest.mark.slow
 def test_color_exhaustive_cpu():
     """Every 2^24 RGB triple vs the oracle on the CPU backend.
 

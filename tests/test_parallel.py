@@ -70,6 +70,7 @@ def test_batch_encode_matches_single(mesh8, rng):
         assert files[i] == single.file_bytes
 
 
+@pytest.mark.slow
 def test_batch_overflow_retries_only_overflowed_images(mesh8, rng, monkeypatch):
     """One noisy image in a smooth batch overflows a deliberately tiny
     capacity estimate: only that image may re-encode (through the
@@ -115,7 +116,14 @@ def test_batch_overflow_retries_only_overflowed_images(mesh8, rng, monkeypatch):
         assert files[i] == pipeline.encode_array(images[i], config).file_bytes
 
 
-@pytest.mark.parametrize("ratio", [(4, 4, 4), (4, 2, 2), (4, 2, 0)])
+@pytest.mark.parametrize(
+    "ratio",
+    [
+        pytest.param((4, 4, 4), marks=pytest.mark.slow),
+        pytest.param((4, 2, 2), marks=pytest.mark.slow),
+        (4, 2, 0),  # production default stays in the fast tier
+    ],
+)
 def test_tiled_encode_matches_single(mesh8, ratio, rng):
     config = EncoderConfig(subsampling_ratio=ratio)
     # 8 mesh devices need mcu_rows % 8 == 0: height 128 gives 16/8 MCU rows.
@@ -127,6 +135,7 @@ def test_tiled_encode_matches_single(mesh8, ratio, rng):
     assert result.file_bytes == single.file_bytes
 
 
+@pytest.mark.slow
 def test_tiled_encode_unpadded_height(mesh8, rng):
     """Original height not a multiple of the band split (121 -> pad 128)."""
     config = EncoderConfig(subsampling_ratio=(4, 2, 0))
@@ -156,8 +165,10 @@ def test_tiled_quirk_width_falls_back_to_single_device(mesh8, rng):
     "height,ratio",
     [
         (48, (4, 2, 0)),   # 3 MCU rows over 8 devices: 5 fully dead bands
-        (544, (4, 2, 0)),  # 34 MCU rows (4K-height analog): ceil -> 5-row
-                           # bands, band 6 partial (4 live rows), band 7 dead
+        # 34 MCU rows (4K-height analog): ceil -> 5-row bands, band 6
+        # partial (4 live rows), band 7 dead. Slow tier: the 48/72 cases
+        # cover the dead- and partial-band edges at smaller cost.
+        pytest.param(544, (4, 2, 0), marks=pytest.mark.slow),
         (72, (4, 4, 4)),   # 9 MCU rows: 2-row bands, band 4 partial
     ],
 )
@@ -173,6 +184,7 @@ def test_tiled_encode_uneven_bands(mesh8, height, ratio, rng):
     assert result.file_bytes == single.file_bytes
 
 
+@pytest.mark.slow
 def test_tiled_overflow_retries_only_overflowed_bands(mesh8, rng, monkeypatch):
     """One noisy MCU band in a smooth image overflows a deliberately tiny
     capacity estimate: only that band re-encodes (alone, off-mesh), and the

@@ -75,6 +75,7 @@ def _decode_psnr(rgb, file_bytes):
     return 10 * np.log10(255.0**2 / max(mse, 1e-12))
 
 
+@pytest.mark.slow
 def test_bin_dct_descale_fixes_quality():
     """The corrected binDCT (scale-folded gains) must erase the reference's
     de-scaling artifact: decoded PSNR within a few dB of real-dct on the
@@ -103,6 +104,7 @@ def test_bin_dct_descale_fixes_quality():
     assert len(fixed.file_bytes) < len(parity.file_bytes)
 
 
+@pytest.mark.slow
 def test_bin_dct_descale_coefficients_near_real_dct(rng):
     """Descaled binDCT quantized coefficients approximate the real DCT's
     (that is the point of folding the gains); bug-parity ones do not."""

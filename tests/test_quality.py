@@ -106,6 +106,7 @@ def test_dqt_segments_carry_scaled_tables():
     assert base_y not in header
 
 
+@pytest.mark.slow
 def test_quality_psnr_and_size_tradeoff():
     """Higher quality -> higher decoded PSNR and larger files on
     photographic-statistics content (the whole point of the knob)."""
@@ -120,6 +121,7 @@ def test_quality_psnr_and_size_tradeoff():
     assert stats[90][0] > 30.0  # q90 4:2:0 should be comfortably good
 
 
+@pytest.mark.slow
 def test_batch_and_tiled_quality_match_single(rng):
     import jax
     from jax.sharding import Mesh
@@ -141,6 +143,7 @@ def test_batch_and_tiled_quality_match_single(rng):
     assert tiled_res.file_bytes == singles[0]
 
 
+@pytest.mark.slow
 def test_pallas_dct_quality_parity(rng):
     """The Pallas DCT kernels bake the scaled tables into their constants;
     interpret mode must match the ops path bit-for-bit at any quality."""
