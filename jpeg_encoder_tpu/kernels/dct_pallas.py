@@ -208,13 +208,33 @@ def real_dct_quant_zigzag_pallas_t(
 T_TILE = 1024  # blocks (lanes) per transposed-chain grid step
 
 
+def _unpack_pixel_rows(xw, shift: int = 0):
+    """(16, T) packed i32 -> 64 (1, T) i32 pixel rows, level-shifted.
+
+    Input row r holds pixels (x = r // 2, y = 4 * (r % 2) + 0..3) of every
+    block in the tile, one block per lane, four u8 pixels per i32 word
+    (little-endian bytes — the _plane_pack_t layout). Unpacking is pure
+    register work (shift + mask per row), which costs far less than the
+    host-side relayouts it replaces (blockify + i16 pad + (N,64)->(64,N)
+    transpose: 1.36 vs 0.66 ms per 1080p plane-batch for the packed
+    build)."""
+    rows = [None] * 64
+    for r in range(16):
+        w = xw[r : r + 1, :]
+        x = r // 2
+        for b in range(4):
+            v = (w >> (8 * b)) & 0xFF
+            rows[x * 8 + (r % 2) * 4 + b] = v - shift
+    return rows
+
+
 def _realdct_t_planes_kernel(
     x_ref, at_ref, bt_ref, sq_ref, out_ref, *, tile, ny
 ):
     """Transposed chain over the 3-plane concat: per-LANE quant select.
 
-    Blocks are LANES here: step k's pixel is a native sublane broadcast
-    (xt[k:k+1, :]) and the per-step basis constants are loop-invariant
+    Blocks are LANES here: step k's pixel is a (1, T) register row (the
+    packed-u8 unpack) and the per-step basis constants are loop-invariant
     (64, 1) lane slices of pre-transposed (64, 64) matrices — hoisted, no
     per-step (1, 64) -> (64, 1) relayout (that relayout made the first
     transposed kernel 2.5x slower than this form; tools/exp_dct_chain_t).
@@ -223,13 +243,13 @@ def _realdct_t_planes_kernel(
     columns of sq_ref; the division itself stays a real f32 `/` (the
     bit-exactness contract rules out reciprocal-multiply)."""
     pid = pl.program_id(0)
-    # i16 -> i32 -> f32 (Mosaic has no direct i16->f32 vector cast).
-    xt = x_ref[:].astype(jnp.int32).astype(jnp.float32) - 128.0  # (64, T)
+    rows = _unpack_pixel_rows(x_ref[:])
     a_cols = [at_ref[:, k : k + 1] for k in range(64)]  # loop-invariant
     b_cols = [bt_ref[:, k : k + 1] for k in range(64)]
-    acc = jnp.zeros_like(xt)
+    acc = jnp.zeros((64, tile), jnp.float32)
     for k in range(64):
-        acc = acc + (xt[k : k + 1, :] * a_cols[k]) * b_cols[k]
+        xk = rows[k].astype(jnp.float32) - 128.0
+        acc = acc + (xk * a_cols[k]) * b_cols[k]
     s_col = sq_ref[:, 0:1]
     is_luma = (
         pid * tile + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
@@ -239,24 +259,27 @@ def _realdct_t_planes_kernel(
 
 
 def real_dct_quant_planes_zigzag_pallas_t(
-    y_blocks: jnp.ndarray,
-    cb_blocks: jnp.ndarray,
-    cr_blocks: jnp.ndarray,
+    y_plane: jnp.ndarray,
+    cb_plane: jnp.ndarray,
+    cr_plane: jnp.ndarray,
     interpret: bool = False,
     quality: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """All three planes through ONE transposed-chain kernel.
 
-    (N, 64) uint8 x3 -> (N, 64) int16 zigzag coefficients x3, bit-exact vs
-    ops/dct.real_dct_quant_ordered. The (64, N) transposes ride XLA
-    outside the kernel (measured cheaper and layout-stabler than in-VMEM
-    kernel transposes). Unlike the XLA ordered-chain fusion — whose
-    emitter windowing is bistable and program-structure-dependent (see
-    kernels/entropy_pallas.encode_entropy_fused docstring) — this kernel's
-    cost is stable: ~2.1 ms per 391680 blocks at T_TILE=1024, ~80% of the
-    VPU-bound ideal for the 192-flop/output ordered chain."""
-    xt, ny, nc, n = _plane_concat_t(y_blocks, cb_blocks, cr_blocks, T_TILE)
-    padded_n = xt.shape[1]
+    Padded (H, W) uint8 planes x3 -> (N, 64) int16 zigzag coefficients
+    x3, bit-exact vs ops/dct.real_dct_quant_ordered. Input rides the
+    packed (16, N) i32 layout (_plane_pack_t): one bitcast-i32 transpose
+    per plane, unpacked in-register by the kernel — replacing the
+    blockify -> i16 pad -> (N,64)->(64,N) transpose chain, whose layout
+    ops cost 2x the packed build and dominated the pipeline's front.
+    Unlike the XLA ordered-chain fusion — whose emitter windowing is
+    bistable and program-structure-dependent (see
+    kernels/entropy_pallas.encode_entropy_fused docstring) — this
+    kernel's cost is stable: ~80% of the VPU-bound ideal for the
+    192-flop/output ordered chain."""
+    xp, ny, nc, n = _plane_pack_t(y_plane, cb_plane, cr_plane, T_TILE)
+    padded_n = xp.shape[1]
     a, b, scale, qy = (
         np.asarray(c) for c in _realdct_constants("y", quality)
     )
@@ -273,7 +296,7 @@ def real_dct_quant_planes_zigzag_pallas_t(
         functools.partial(_realdct_t_planes_kernel, tile=T_TILE, ny=ny),
         grid=(padded_n // T_TILE,),
         in_specs=[
-            pl.BlockSpec((64, T_TILE), lambda i: (0, i),
+            pl.BlockSpec((16, T_TILE), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((64, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((64, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -284,23 +307,40 @@ def real_dct_quant_planes_zigzag_pallas_t(
         ),
         out_shape=jax.ShapeDtypeStruct((64, padded_n), jnp.int16),
         interpret=interpret,
-    )(xt, at, bt, jnp.asarray(sq))
+    )(xp, at, bt, jnp.asarray(sq))
     out = out_t.T
     return out[:ny], out[ny : ny + nc], out[ny + nc : n]
 
 
-def _plane_concat_t(y_blocks, cb_blocks, cr_blocks, tile):
-    """[Y; Cb; Cr] -> zero-padded (64, padded_n) int16, plus (ny, nc, n).
+def _pack_plane_t(plane: jnp.ndarray) -> jnp.ndarray:
+    """Padded (H, W) uint8 plane -> (16, N) i32 packed transposed layout.
 
-    int16 transport halves the pad + XLA-transpose traffic vs int32
-    (u8 itself is out: Mosaic cannot cast u8 inside the kernel, and u8
-    transposes pick poor layouts); the kernels widen in VMEM."""
-    ny, nc = y_blocks.shape[0], cb_blocks.shape[0]
-    allb = jnp.concatenate([y_blocks, cb_blocks, cr_blocks], axis=0)
-    n = allb.shape[0]
+    Row r holds pixels (x = r // 2, y = 4 * (r % 2) + 0..3) of every 8x8
+    block, one block per lane, 4 pixels per little-endian i32 word. ONE
+    bitcast-i32 transpose builds it (0.66 ms per 1080p batch-8 plane vs
+    1.36 for blockify + i16 pad + transpose; layout verified against
+    sample.blockify in tools' exp)."""
+    hgt, wdt = plane.shape
+    by, bx = hgt // 8, wdt // 8
+    p32 = jax.lax.bitcast_convert_type(
+        plane.reshape(hgt, wdt // 4, 4), jnp.int32
+    )
+    return (
+        p32.reshape(by, 8, bx, 2).transpose(1, 3, 0, 2).reshape(16, by * bx)
+    )
+
+
+def _plane_pack_t(y_plane, cb_plane, cr_plane, tile):
+    """[Y | Cb | Cr] packed columns -> zero-padded (16, padded_n) i32,
+    plus (ny, nc, n) block counts."""
+    xs = [_pack_plane_t(p) for p in (y_plane, cb_plane, cr_plane)]
+    ny, nc = xs[0].shape[1], xs[1].shape[1]
+    x = jnp.concatenate(xs, axis=1)
+    n = x.shape[1]
     padded_n = -(-n // tile) * tile
-    x = jnp.zeros((padded_n, 64), jnp.int16).at[:n].set(allb.astype(jnp.int16))
-    return x.T, ny, nc, n
+    if padded_n != n:
+        x = jnp.pad(x, ((0, 0), (0, padded_n - n)))
+    return x, ny, nc, n
 
 
 def _lift8_rows(x: list[jnp.ndarray]) -> list[jnp.ndarray]:
@@ -349,8 +389,7 @@ def _bindct_t_planes_kernel(x_ref, q_ref, out_ref, *, tile, ny):
     sublane order. Bit-identical to ops/dct.bin_dct_quant (bug-parity
     un-descaled variant, dct_quant.rs:182-186)."""
     pid = pl.program_id(0)
-    xt = x_ref[:].astype(jnp.int32) - 128            # (64, T)
-    rows = [xt[i : i + 1, :] for i in range(64)]
+    rows = _unpack_pixel_rows(x_ref[:], shift=128)   # 64 x (1, T) i32
     mid = [None] * 64
     for bx in range(8):                              # transform block rows
         lifted = _lift8_rows([rows[8 * bx + y] for y in range(8)])
@@ -373,28 +412,30 @@ def _bindct_t_planes_kernel(x_ref, q_ref, out_ref, *, tile, ny):
 
 
 def bin_dct_quant_planes_zigzag_pallas_t(
-    y_blocks: jnp.ndarray,
-    cb_blocks: jnp.ndarray,
-    cr_blocks: jnp.ndarray,
+    y_plane: jnp.ndarray,
+    cb_plane: jnp.ndarray,
+    cr_plane: jnp.ndarray,
     interpret: bool = False,
     quality: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """All three planes through ONE transposed binDCT kernel.
 
-    (N, 64) uint8 x3 -> (N, 64) int16 zigzag coefficients x3, bit-exact
-    vs ops/dct.bin_dct_quant (reference bug-parity path)."""
-    xt, ny, nc, n = _plane_concat_t(y_blocks, cb_blocks, cr_blocks, T_TILE)
+    Padded (H, W) uint8 planes x3 -> (N, 64) int16 zigzag coefficients
+    x3, bit-exact vs ops/dct.bin_dct_quant (reference bug-parity path).
+    Input rides the packed (16, N) i32 layout; see
+    real_dct_quant_planes_zigzag_pallas_t."""
+    xp, ny, nc, n = _plane_pack_t(y_plane, cb_plane, cr_plane, T_TILE)
     qy, _ = _bindct_constants("y", quality)
     qc, _ = _bindct_constants("c", quality)
     q = np.zeros((64, 8), np.int32)
     q[:, 0] = qy.reshape(64)
     q[:, 1] = qc.reshape(64)
-    padded_n = xt.shape[1]
+    padded_n = xp.shape[1]
     out_t = pl.pallas_call(
         functools.partial(_bindct_t_planes_kernel, tile=T_TILE, ny=ny),
         grid=(padded_n // T_TILE,),
         in_specs=[
-            pl.BlockSpec((64, T_TILE), lambda i: (0, i),
+            pl.BlockSpec((16, T_TILE), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((64, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -403,7 +444,7 @@ def bin_dct_quant_planes_zigzag_pallas_t(
         ),
         out_shape=jax.ShapeDtypeStruct((64, padded_n), jnp.int16),
         interpret=interpret,
-    )(xt, jnp.asarray(q))
+    )(xp, jnp.asarray(q))
     out = out_t.T
     return out[:ny], out[ny : ny + nc], out[ny + nc : n]
 

@@ -110,7 +110,7 @@ def _encode_band(rgb_band, band_geom, algorithm, capacity, fast_dct,
     cr = sample.subsample_plane(sample.pad_plane(cr, band_geom), band_geom)
 
     y_q, cb_q, cr_q, pallas_planes = pipeline.dct_planes_zigzag(
-        sample.blockify(y), sample.blockify(cb), sample.blockify(cr),
+        y, cb, cr,
         algorithm, fast_dct, bin_dct_descale, quality, transposed_dct,
     )
     if callable(init_dc):

@@ -87,20 +87,23 @@ def default_packer(capacity_bytes: int) -> str:
 
 
 def dct_planes_zigzag(
-    y_blocks: jnp.ndarray,
-    cb_blocks: jnp.ndarray,
-    cr_blocks: jnp.ndarray,
+    y_plane: jnp.ndarray,
+    cb_plane: jnp.ndarray,
+    cr_plane: jnp.ndarray,
     algorithm: DctAlgorithm,
     fast_dct: bool = False,
     bin_dct_descale: bool = False,
     quality: int | None = None,
     transposed_dct: bool | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, bool]:
-    """Blockified planes -> zigzag quantized coefficients (production path).
+    """Padded planes -> zigzag quantized coefficients (production path).
 
     The single source of truth for the DCT implementation choice, shared by
     the batch pipeline (encode_core) and the MCU-band-sharded path
-    (parallel/tiled.py) so both run identical arithmetic. transposed_dct
+    (parallel/tiled.py) so both run identical arithmetic. Takes the padded
+    (H, W) uint8 planes — the Pallas kernels consume a packed transposed
+    layout built directly from the planes (one i32 transpose each), so
+    blockify only happens on the XLA fallback path. transposed_dct
     None = auto: the Pallas transposed-layout kernels on TPU — never slower
     than the XLA ordered-chain fusion, whose emitter windowing is bistable
     and program-structure-dependent (1529/1146/801 vs 1527/960/753 Mpix/s
@@ -120,7 +123,7 @@ def dct_planes_zigzag(
         from jpeg_encoder_tpu.kernels import dct_pallas
 
         y_z, cb_z, cr_z = dct_pallas.real_dct_quant_planes_zigzag_pallas_t(
-            y_blocks, cb_blocks, cr_blocks,
+            y_plane, cb_plane, cr_plane,
             interpret=jax.default_backend() != "tpu", quality=quality,
         )
         return y_z, cb_z, cr_z, True
@@ -136,12 +139,13 @@ def dct_planes_zigzag(
         from jpeg_encoder_tpu.kernels import dct_pallas
 
         y_z, cb_z, cr_z = dct_pallas.bin_dct_quant_planes_zigzag_pallas_t(
-            y_blocks, cb_blocks, cr_blocks,
+            y_plane, cb_plane, cr_plane,
             interpret=jax.default_backend() != "tpu", quality=quality,
         )
         return y_z, cb_z, cr_z, True
     y_z, cb_z, cr_z = dct.dct_quantize_planes(
-        y_blocks, cb_blocks, cr_blocks, algorithm, fast_dct,
+        sample.blockify(y_plane), sample.blockify(cb_plane),
+        sample.blockify(cr_plane), algorithm, fast_dct,
         zigzag_out=True, bin_dct_descale=bin_dct_descale, quality=quality,
     )
     return y_z, cb_z, cr_z, False
@@ -200,7 +204,7 @@ def encode_core(
         # transform chain with a per-row quant-table select (bit-identical
         # to per-plane calls, one fusion instead of three).
         y_z, cb_z, cr_z, pallas_planes_dct = dct_planes_zigzag(
-            sample.blockify(y), sample.blockify(cb), sample.blockify(cr),
+            y, cb, cr,
             algorithm, fast_dct, bin_dct_descale, quality, transposed_dct,
         )
         # The XLA-side DC merge exists only to flip the REAL ordered-chain

@@ -11,7 +11,7 @@ from jpeg_encoder_tpu import oracle, pipeline, tables
 from jpeg_encoder_tpu.config import DctAlgorithm, EncoderConfig
 from jpeg_encoder_tpu.io import jfif
 from jpeg_encoder_tpu.kernels import dct_pallas
-from jpeg_encoder_tpu.ops import dct
+from jpeg_encoder_tpu.ops import dct, sample
 
 
 @pytest.mark.parametrize("is_luma", [True, False])
@@ -92,14 +92,15 @@ def test_transposed_planes_dct_matches_ops_fusion(rng):
     including the per-lane luma/chroma quant select."""
     import jax.numpy as jnp
 
-    y = jnp.asarray(rng.integers(0, 256, (600, 64), dtype=np.uint8))
-    cb = jnp.asarray(rng.integers(0, 256, (150, 64), dtype=np.uint8))
-    cr = jnp.asarray(rng.integers(0, 256, (150, 64), dtype=np.uint8))
+    yp = jnp.asarray(rng.integers(0, 256, (240, 160), dtype=np.uint8))
+    cbp = jnp.asarray(rng.integers(0, 256, (120, 80), dtype=np.uint8))
+    crp = jnp.asarray(rng.integers(0, 256, (120, 80), dtype=np.uint8))
     want = dct.dct_quantize_planes(
-        y, cb, cr, DctAlgorithm.REAL_DCT, zigzag_out=True
+        sample.blockify(yp), sample.blockify(cbp), sample.blockify(crp),
+        DctAlgorithm.REAL_DCT, zigzag_out=True,
     )[:3]
     got = dct_pallas.real_dct_quant_planes_zigzag_pallas_t(
-        y, cb, cr, interpret=True
+        yp, cbp, crp, interpret=True
     )
     for w, g in zip(want, got):
         assert w.dtype == g.dtype == jnp.int16
@@ -126,15 +127,16 @@ def test_transposed_planes_bindct_matches_ops(rng):
     zigzag assembly order."""
     import jax.numpy as jnp
 
-    y = jnp.asarray(rng.integers(0, 256, (600, 64), dtype=np.uint8))
-    cb = jnp.asarray(rng.integers(0, 256, (150, 64), dtype=np.uint8))
-    cr = jnp.asarray(rng.integers(0, 256, (150, 64), dtype=np.uint8))
+    yp = jnp.asarray(rng.integers(0, 256, (240, 160), dtype=np.uint8))
+    cbp = jnp.asarray(rng.integers(0, 256, (120, 80), dtype=np.uint8))
+    crp = jnp.asarray(rng.integers(0, 256, (120, 80), dtype=np.uint8))
     for q in (None, 35):
         want = dct.dct_quantize_planes(
-            y, cb, cr, DctAlgorithm.BIN_DCT, zigzag_out=True, quality=q
+            sample.blockify(yp), sample.blockify(cbp), sample.blockify(crp),
+            DctAlgorithm.BIN_DCT, zigzag_out=True, quality=q,
         )[:3]
         got = dct_pallas.bin_dct_quant_planes_zigzag_pallas_t(
-            y, cb, cr, interpret=True, quality=q
+            yp, cbp, crp, interpret=True, quality=q
         )
         for w, g in zip(want, got):
             assert np.array_equal(

@@ -140,7 +140,19 @@ f_planes_ops = jax.jit(
         a, b, c, DctAlgorithm.REAL_DCT, zigzag_out=True
     )
 )
-f_planes_t = jax.jit(dct_pallas.real_dct_quant_planes_zigzag_pallas_t)
+# The planes kernel now takes padded (H, W) planes (packed-i32 input
+# layout); hand it planes whose blockify equals yb/cbb/crb so the
+# bit-equality check below still compares identical content.
+from jpeg_encoder_tpu.ops import sample as _sample  # noqa: E402
+
+_ypl = _sample.unblockify(yb, 8160, 2048)      # 1020*256 = NY blocks
+_cbpl = _sample.unblockify(cbb, 2040, 2048)    # 255*256 = NC blocks
+_crpl = _sample.unblockify(crb, 2040, 2048)
+f_planes_t = jax.jit(
+    lambda a, b, c: dct_pallas.real_dct_quant_planes_zigzag_pallas_t(
+        _ypl, _cbpl, _crpl
+    )
+)
 
 
 def timeit3(name, fn, iters=60):

@@ -92,6 +92,14 @@ def _kernel(
         out_ref[0:8, :] = out_ref[0:8, :] | red
         bits_ref[0, 0] = 0
 
+    if stage == "load16":
+        # Tile read WITHOUT the i16 -> i32 widen: bitcast pairs of i16
+        # lanes to i32 (free relabeling) and fold. Separates the cast
+        # cost from the DMA + grid overhead floor.
+        z16 = pltpu.bitcast(z_ref[:], jnp.int32)   # (T2, 64) i32
+        finish(z16)
+        return
+
     if stage == "load":
         finish(z)
         return
@@ -227,7 +235,7 @@ def _kernel(
     pair_bits = incl[:, 127:128]
 
     import os as _os
-    scanform = _os.environ.get("SCANFORM", "lane")
+    scanform = _os.environ.get("SCANFORM", "sublane")  # production form
     base = carry[0]
     max_off = (num_words - 2 * ep.ENTRY_WORDS - 1) * 32
     if scanform == "lane":

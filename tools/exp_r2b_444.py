@@ -70,7 +70,7 @@ def front(rgb):
     y = sample.pad_plane(y, geom)
     cb = sample.subsample_plane(sample.pad_plane(cb, geom), geom)
     cr = sample.subsample_plane(sample.pad_plane(cr, geom), geom)
-    return sample.blockify(y), sample.blockify(cb), sample.blockify(cr)
+    return y, cb, cr
 
 
 assert jax.default_backend() == "tpu", "stage timers need a TPU backend"
@@ -96,7 +96,7 @@ def front_only(imgs):
     return jnp.sum(jax.vmap(one)(imgs))
 
 
-timeit("front+blockify only", front_only, images)
+timeit("front (planes) only", front_only, images)
 timeit("dct transposed-pallas", dct_t, images)
 e2e("e2e default")
 e2e("e2e fast (inexact)", transposed_dct=False, fast_dct=True)
