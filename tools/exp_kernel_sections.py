@@ -236,6 +236,7 @@ def _kernel(
 
     import os as _os
     scanform = _os.environ.get("SCANFORM", "sublane")  # production form
+    onehot = _os.environ.get("ONEHOT", "row")  # row (prod) | col (no relayout)
     base = carry[0]
     max_off = (num_words - 2 * ep.ENTRY_WORDS - 1) * 32
     if scanform == "lane":
@@ -286,11 +287,14 @@ def _kernel(
         carry[0] = base + incl_p[t2 - 1, 0]
         exc = incl_p - pair_bits
         off_p = jnp.minimum(base + exc, max_off)
-        off_row = jnp.minimum(base + exc.reshape(1, t2), max_off)
+        if onehot == "col":
+            off_row = None
+        else:
+            off_row = jnp.minimum(base + exc.reshape(1, t2), max_off)
     bits_ref[0, 0] = carry[0]
 
     if stage == "prep_off":
-        finish(off_p, off_row, incl)
+        finish(off_p, incl, *(() if off_row is None else (off_row,)))
         return
 
     sbit = off_p & 31
@@ -356,10 +360,21 @@ def _kernel(
 
     nrows = out_ref.shape[0]
     r_first = jnp.minimum(base >> 12, nrows - ROWS_LOC)
-    r_rel = (off_row >> 12) - r_first
-    ii_r = jax.lax.broadcasted_iota(jnp.int32, (ROWS_LOC, t2), 0)
-    a0 = (ii_r == r_rel).astype(jnp.bfloat16)
-    a1 = (ii_r == r_rel + 1).astype(jnp.bfloat16)
+    if onehot == "col":
+        # Column-form one-hots: (t2, ROWS_LOC) built straight from the
+        # (t2, 1) pair offsets — no (t2,1)->(1,t2) relayout anywhere —
+        # consumed by a dim-0-contracting dot_general (transposed matmul).
+        r_rel_c = (off_p >> 12) - r_first            # (t2, 1)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (t2, ROWS_LOC), 1)
+        a0 = (jj == r_rel_c).astype(jnp.bfloat16)    # (t2, ROWS_LOC)
+        a1 = (jj == r_rel_c + 1).astype(jnp.bfloat16)
+        dn = (((0,), (0,)), ((), ()))
+    else:
+        r_rel = (off_row >> 12) - r_first
+        ii_r = jax.lax.broadcasted_iota(jnp.int32, (ROWS_LOC, t2), 0)
+        a0 = (ii_r == r_rel).astype(jnp.bfloat16)
+        a1 = (ii_r == r_rel + 1).astype(jnp.bfloat16)
+        dn = None
 
     if stage == "prep":
         finish(c0, c1, a0.astype(jnp.float32), a1.astype(jnp.float32))
@@ -369,9 +384,16 @@ def _kernel(
     for kk in range(4):
         c0k = ((c0 >> (8 * kk)) & 0xFF).astype(jnp.int32).astype(jnp.bfloat16)
         c1k = ((c1 >> (8 * kk)) & 0xFF).astype(jnp.int32).astype(jnp.bfloat16)
-        s = jnp.dot(a0, c0k, preferred_element_type=jnp.float32) + (
-            jnp.dot(a1, c1k, preferred_element_type=jnp.float32)
-        )
+        if dn is not None:
+            s = jax.lax.dot_general(
+                a0, c0k, dn, preferred_element_type=jnp.float32
+            ) + jax.lax.dot_general(
+                a1, c1k, dn, preferred_element_type=jnp.float32
+            )
+        else:
+            s = jnp.dot(a0, c0k, preferred_element_type=jnp.float32) + (
+                jnp.dot(a1, c1k, preferred_element_type=jnp.float32)
+            )
         acc_loc = acc_loc | (s.astype(jnp.int32).astype(jnp.uint32) << (8 * kk))
     cur = out_ref[pl.ds(r_first, ROWS_LOC), :]
     out_ref[pl.ds(r_first, ROWS_LOC), :] = cur | acc_loc
