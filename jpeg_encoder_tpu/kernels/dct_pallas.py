@@ -378,7 +378,7 @@ def _lift8_rows(x: list[jnp.ndarray]) -> list[jnp.ndarray]:
     return [t0, t7, t3, t6, t1, t5, t2, t4]
 
 
-def _bindct_t_planes_kernel(x_ref, q_ref, out_ref, *, tile, ny):
+def _bindct_t_planes_kernel(x_ref, q_ref, out_ref, *, tile, ny, descale):
     """Transposed-layout binDCT over the 3-plane concat.
 
     Block positions are SUBLANES here, so every lifting input is a (1, T)
@@ -386,8 +386,12 @@ def _bindct_t_planes_kernel(x_ref, q_ref, out_ref, *, tile, ny):
     add work — no (N, 8, 8) shapes (which pad 16x under the TPU's (8, 128)
     tiling and made the XLA lifting fusion cost ~10.7 ms/batch at 4:4:4).
     The zigzag permutation is free: outputs are assembled in zigzag
-    sublane order. Bit-identical to ops/dct.bin_dct_quant (bug-parity
-    un-descaled variant, dct_quant.rs:182-186)."""
+    sublane order. descale=False is bit-identical to ops/dct.bin_dct_quant
+    (bug-parity un-descaled variant, dct_quant.rs:182-186); descale=True
+    folds the lifting network's diagonal gains into a per-lane f32
+    multiply before the quant divide (the corrected binDCT-C —
+    ops/dct.bindct_descale_2d), bit-identical to the XLA descale path
+    (same mul -> div -> trunc f32 association per element)."""
     pid = pl.program_id(0)
     rows = _unpack_pixel_rows(x_ref[:], shift=128)   # 64 x (1, T) i32
     mid = [None] * 64
@@ -405,10 +409,17 @@ def _bindct_t_planes_kernel(x_ref, q_ref, out_ref, *, tile, ny):
     is_luma = (
         pid * tile + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
     ) < ny
-    q = jnp.where(is_luma, q_ref[:, 0:1], q_ref[:, 1:2])
-    out_ref[:] = (
-        jnp.sign(zigzagged) * (jnp.abs(zigzagged) // q)
-    ).astype(jnp.int16)
+    if descale:
+        s = q_ref[:, 0:1]                            # f32 descale gains
+        q = jnp.where(is_luma, q_ref[:, 1:2], q_ref[:, 2:3])
+        out_ref[:] = jnp.trunc(
+            zigzagged.astype(jnp.float32) * s / q
+        ).astype(jnp.int16)
+    else:
+        q = jnp.where(is_luma, q_ref[:, 0:1], q_ref[:, 1:2])
+        out_ref[:] = (
+            jnp.sign(zigzagged) * (jnp.abs(zigzagged) // q)
+        ).astype(jnp.int16)
 
 
 def bin_dct_quant_planes_zigzag_pallas_t(
@@ -417,22 +428,35 @@ def bin_dct_quant_planes_zigzag_pallas_t(
     cr_plane: jnp.ndarray,
     interpret: bool = False,
     quality: int | None = None,
+    descale: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """All three planes through ONE transposed binDCT kernel.
 
     Padded (H, W) uint8 planes x3 -> (N, 64) int16 zigzag coefficients
-    x3, bit-exact vs ops/dct.bin_dct_quant (reference bug-parity path).
-    Input rides the packed (16, N) i32 layout; see
-    real_dct_quant_planes_zigzag_pallas_t."""
+    x3, bit-exact vs ops/dct.bin_dct_quant (reference bug-parity path
+    with descale=False; corrected binDCT-C with descale=True — see
+    _bindct_t_planes_kernel). Input rides the packed (16, N) i32 layout;
+    see real_dct_quant_planes_zigzag_pallas_t."""
     xp, ny, nc, n = _plane_pack_t(y_plane, cb_plane, cr_plane, T_TILE)
     qy, _ = _bindct_constants("y", quality)
     qc, _ = _bindct_constants("c", quality)
-    q = np.zeros((64, 8), np.int32)
-    q[:, 0] = qy.reshape(64)
-    q[:, 1] = qc.reshape(64)
+    if descale:
+        from jpeg_encoder_tpu.ops.dct import bindct_descale_2d
+
+        zz = tables.ZIGZAG_ORDER
+        q = np.zeros((64, 8), np.float32)
+        q[:, 0] = bindct_descale_2d()[zz]
+        q[:, 1] = qy.reshape(64).astype(np.float32)
+        q[:, 2] = qc.reshape(64).astype(np.float32)
+    else:
+        q = np.zeros((64, 8), np.int32)
+        q[:, 0] = qy.reshape(64)
+        q[:, 1] = qc.reshape(64)
     padded_n = xp.shape[1]
     out_t = pl.pallas_call(
-        functools.partial(_bindct_t_planes_kernel, tile=T_TILE, ny=ny),
+        functools.partial(
+            _bindct_t_planes_kernel, tile=T_TILE, ny=ny, descale=descale
+        ),
         grid=(padded_n // T_TILE,),
         in_specs=[
             pl.BlockSpec((16, T_TILE), lambda i: (0, i),

@@ -204,7 +204,7 @@ def encode_scan(
     coeffs_zigzagged: bool = False,
     packer: str = "xla",
     live_entries: jnp.ndarray | None = None,
-    dc_in_kernel: bool | None = None,
+    dc_in_kernel: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Quantized coefficients -> packed entropy bytes.
 
@@ -231,10 +231,13 @@ def encode_scan(
         trailing band(s) carry padding rows: dead entries are always a
         suffix of the scan, so the live prefix's bits and total are
         unaffected. Supported by every packer.
-      dc_in_kernel: fused packer only; None picks a measured per-case
-        default (see the comment below). Both settings are byte-identical
-        — the knob only moves the DC differencing between XLA and the
-        kernel, which flips the XLA chain fusion's emitter windowing.
+      dc_in_kernel: fused packer only; True (the default) lets the fused
+        kernel difference the raw DCs itself, False computes the
+        differences in XLA and merges them into slot 0. Both settings are
+        byte-identical (tests cover both); False exists as the
+        verification tier and for XLA-ordered-chain programs, where it
+        once flipped that fusion's emitter windowing (the chain is no
+        longer a production TPU path — kernels/dct_pallas.py is).
 
     Returns:
       (bytes_u8 of shape (capacity_bytes,), total_bits scalar int32). The
@@ -252,18 +255,8 @@ def encode_scan(
         # Everything below (symbolization, DC differences, LUTs, packing)
         # happens inside the fused Pallas kernel; only marshalling stays
         # in XLA (want_diff=False: the kernel differences the raw DCs).
-        # EXCEPT at 4:2:2 when the XLA ordered-DCT chain feeds this scan:
-        # that chain fusion's emitter windowing flips per program
-        # structure, and the XLA dc-merge measures 935 vs 738 Mpix/s
-        # there, while 4:2:0/4:4:4 prefer in-kernel DC (1510/753 vs
-        # 1384/706; chip_session.log). Callers whose program has no XLA
-        # chain (Pallas DCT kernels) pass dc_in_kernel=True explicitly.
         from jpeg_encoder_tpu.kernels import entropy_pallas
 
-        if dc_in_kernel is None:
-            dc_in_kernel = not (
-                geom.h_factor == 2 and geom.v_factor == 1
-            )
         z, entry_diff = marshal_scan_inputs(
             y_coeffs, cb_coeffs, cr_coeffs, geom, init_dc,
             coeffs_zigzagged, want_diff=not dc_in_kernel,

@@ -109,7 +109,7 @@ def _encode_band(rgb_band, band_geom, algorithm, capacity, fast_dct,
     cb = sample.subsample_plane(sample.pad_plane(cb, band_geom), band_geom)
     cr = sample.subsample_plane(sample.pad_plane(cr, band_geom), band_geom)
 
-    y_q, cb_q, cr_q, pallas_planes = pipeline.dct_planes_zigzag(
+    y_q, cb_q, cr_q, _ = pipeline.dct_planes_zigzag(
         y, cb, cr,
         algorithm, fast_dct, bin_dct_descale, quality, transposed_dct,
     )
@@ -120,7 +120,6 @@ def _encode_band(rgb_band, band_geom, algorithm, capacity, fast_dct,
     payload, bits = entropy.encode_scan(
         y_q, cb_q, cr_q, band_geom, capacity, init_dc=init_dc,
         live_entries=live_entries, packer=packer, coeffs_zigzagged=True,
-        dc_in_kernel=True if pallas_planes else None,
     )
     return payload, bits, init_dc
 

@@ -113,9 +113,9 @@ def dct_planes_zigzag(
     :67-187 for binDCT), so outputs are identical either way.
 
     Returns (y_z, cb_z, cr_z, pallas_planes); pallas_planes=True means a
-    Pallas kernel produced the coefficients — callers then force in-kernel
-    DC differencing, which is strictly better when no XLA chain fusion
-    exists in the program (ops/entropy.encode_scan).
+    Pallas kernel produced the coefficients (informational — the scan
+    encoder's in-kernel DC differencing is the unconditional default now
+    that no XLA chain fusion remains on the production TPU path).
     """
     if transposed_dct is None:
         transposed_dct = jax.default_backend() == "tpu"
@@ -127,20 +127,19 @@ def dct_planes_zigzag(
             interpret=jax.default_backend() != "tpu", quality=quality,
         )
         return y_z, cb_z, cr_z, True
-    if (
-        transposed_dct
-        and algorithm == DctAlgorithm.BIN_DCT
-        and not bin_dct_descale
-    ):
+    if transposed_dct and algorithm == DctAlgorithm.BIN_DCT:
         # The register-resident transposed lifting kernel beats the XLA
         # lifting fusion at every ratio (its (N, 8, 8) shapes pad 16x
         # under TPU tiling): 1427/1078/742 vs 1361/1025/679 Mpix/s
-        # e2e at 4:2:0/4:2:2/4:4:4 (chip_session.log r2).
+        # e2e at 4:2:0/4:2:2/4:4:4 (chip_session.log r2). Both quant
+        # variants ride it: the bug-parity integer divide and the
+        # corrected descale (f32 gains folded into the quant stage).
         from jpeg_encoder_tpu.kernels import dct_pallas
 
         y_z, cb_z, cr_z = dct_pallas.bin_dct_quant_planes_zigzag_pallas_t(
             y_plane, cb_plane, cr_plane,
             interpret=jax.default_backend() != "tpu", quality=quality,
+            descale=bin_dct_descale,
         )
         return y_z, cb_z, cr_z, True
     y_z, cb_z, cr_z = dct.dct_quantize_planes(
@@ -179,8 +178,9 @@ def encode_core(
 
     packer = default_packer(capacity_bytes)
     if bin_dct_descale and algorithm == DctAlgorithm.BIN_DCT:
-        # The corrected binDCT runs through the ops path (the Pallas DCT
-        # kernels implement only the bug-parity variant).
+        # use_pallas selects the legacy per-plane (N, 64) kernels, which
+        # implement only the bug-parity quant; the descale variant lives in
+        # the (default) transposed 3-plane kernel dct_planes_zigzag picks.
         use_pallas = False
     if use_pallas:
         from jpeg_encoder_tpu.kernels import dct_pallas
@@ -203,18 +203,13 @@ def encode_core(
         # un-permuted below either way. All three planes run through one
         # transform chain with a per-row quant-table select (bit-identical
         # to per-plane calls, one fusion instead of three).
-        y_z, cb_z, cr_z, pallas_planes_dct = dct_planes_zigzag(
+        y_z, cb_z, cr_z, _ = dct_planes_zigzag(
             y, cb, cr,
             algorithm, fast_dct, bin_dct_descale, quality, transposed_dct,
         )
-        # The XLA-side DC merge exists only to flip the REAL ordered-chain
-        # fusion's emitter windowing at 4:2:2; when a Pallas kernel
-        # produced the coefficients there is no chain fusion in the
-        # program and in-kernel DC is strictly better (ops/entropy).
         payload, total_bits = entropy.encode_scan(
             y_z, cb_z, cr_z, geom, capacity_bytes, coeffs_zigzagged=True,
             packer=packer,
-            dc_in_kernel=True if pallas_planes_dct else None,
         )
     result = {"payload": payload, "total_bits": total_bits}
     if with_coeffs:

@@ -144,6 +144,44 @@ def test_transposed_planes_bindct_matches_ops(rng):
             )
 
 
+def test_transposed_planes_bindct_descale_matches_ops(rng):
+    """The descale=True variant of the transposed binDCT kernel (corrected
+    binDCT-C: f32 gain fold + f32 quant divide) must be bit-identical to
+    ops/dct.dct_quantize_planes(bin_dct_descale=True)."""
+    import jax.numpy as jnp
+
+    yp = jnp.asarray(rng.integers(0, 256, (240, 160), dtype=np.uint8))
+    cbp = jnp.asarray(rng.integers(0, 256, (120, 80), dtype=np.uint8))
+    crp = jnp.asarray(rng.integers(0, 256, (120, 80), dtype=np.uint8))
+    for q in (None, 35):
+        want = dct.dct_quantize_planes(
+            sample.blockify(yp), sample.blockify(cbp), sample.blockify(crp),
+            DctAlgorithm.BIN_DCT, zigzag_out=True, quality=q,
+            bin_dct_descale=True,
+        )[:3]
+        got = dct_pallas.bin_dct_quant_planes_zigzag_pallas_t(
+            yp, cbp, crp, interpret=True, quality=q, descale=True
+        )
+        for w, g in zip(want, got):
+            assert np.array_equal(np.asarray(w), np.asarray(g))
+
+
+def test_bindct_descale_pipeline_end_to_end(rng):
+    """EncoderConfig(bin_dct_descale=True) routes through the transposed
+    Pallas kernel when transposed_dct=True and must stay byte-identical to
+    the XLA descale path (transposed_dct=False)."""
+    rgb = rng.integers(0, 256, size=(40, 56, 3), dtype=np.uint8)
+    cfg = dict(
+        dct_algorithm=DctAlgorithm.BIN_DCT, bin_dct_descale=True,
+        subsampling_ratio=(4, 2, 0),
+    )
+    base = pipeline.encode_array(
+        rgb, EncoderConfig(**cfg, transposed_dct=False)
+    )
+    t = pipeline.encode_array(rgb, EncoderConfig(**cfg, transposed_dct=True))
+    assert base.file_bytes == t.file_bytes
+
+
 @pytest.mark.slow
 def test_transposed_dct_config_end_to_end_bindct(rng):
     """transposed_dct=True with BIN_DCT routes through the transposed
