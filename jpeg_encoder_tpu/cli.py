@@ -29,8 +29,34 @@ def build_parser() -> argparse.ArgumentParser:
         description="TPU-native BMP to baseline JPEG (JFIF) encoder",
     )
     parser.add_argument(
-        "-i", "--image", required=True, action="append",
+        "-i", "--image", action="append", default=None,
         help="input BMP path or glob (repeatable; must end in .bmp)",
+    )
+    parser.add_argument(
+        "--dataset", default="", metavar="DIR",
+        help="encode every .bmp under DIR as a (multi-host-shardable) "
+        "dataset: each process takes a strided share, writes outputs plus "
+        "a resumable manifest into -o, and the final summary aggregates "
+        "over all processes (BASELINE config 5). Single-process runs "
+        "encode everything locally",
+    )
+    parser.add_argument(
+        "--coordinator", default="", metavar="HOST:PORT",
+        help="with --dataset: jax.distributed coordinator address for "
+        "multi-process runs (every process passes the same address)",
+    )
+    parser.add_argument(
+        "--process-id", type=int, default=None, metavar="N",
+        help="with --coordinator: this process's index in 0..num-processes",
+    )
+    parser.add_argument(
+        "--num-processes", type=int, default=None, metavar="M",
+        help="with --coordinator: total process count",
+    )
+    parser.add_argument(
+        "--no-resume", action="store_true",
+        help="with --dataset: re-encode files the manifest already records "
+        "instead of skipping them",
     )
     parser.add_argument(
         "-o", "--output", default="",
@@ -108,8 +134,12 @@ def _maybe_trace(trace_dir: str):
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
 
+    if not args.image and not args.dataset:
+        print("error: provide --image or --dataset", file=sys.stderr)
+        return 2
+
     inputs: list[str] = []
-    for pattern in args.image:
+    for pattern in args.image or []:
         matches = sorted(globlib.glob(pattern)) or [pattern]
         inputs.extend(matches)
     for path in inputs:
@@ -135,6 +165,8 @@ def main(argv: list[str] | None = None) -> int:
         print(f"error: {e}", file=sys.stderr)
         return 2
 
+    if args.dataset:
+        return _run_dataset(inputs, args, config)
     if len(inputs) > 1:
         return _run_batch(inputs, args, config)
 
@@ -192,6 +224,69 @@ def main(argv: list[str] | None = None) -> int:
             "megapixels_per_second": pixels / elapsed / 1e6,
             "output_bytes": len(result.file_bytes),
         }))
+    return 0
+
+
+def _run_dataset(inputs: list[str], args, config: EncoderConfig) -> int:
+    """Multi-host dataset mode: the CLI surface for BASELINE config 5.
+
+    Wires parallel/multihost: distributed rendezvous (when --coordinator
+    is given), strided file assignment by process index, batch encode over
+    this process's local devices, a resumable per-process manifest, and a
+    cross-process summary allgather. The reference's only interface is its
+    CLI (main.rs:8-68); this makes our flagship scale mode drivable the
+    same way.
+    """
+    import os
+
+    from jpeg_encoder_tpu.utils import compile_cache
+
+    compile_cache.enable()
+    from jpeg_encoder_tpu.parallel import multihost
+
+    kwargs = {}
+    if args.coordinator:
+        kwargs["coordinator_address"] = args.coordinator
+        if args.num_processes is not None:
+            kwargs["num_processes"] = args.num_processes
+        if args.process_id is not None:
+            kwargs["process_id"] = args.process_id
+    try:
+        idx, count = multihost.initialize(**kwargs)
+    except (RuntimeError, ValueError) as e:
+        print(f"error: distributed initialization failed: {e}",
+              file=sys.stderr)
+        return 1
+
+    paths = sorted(globlib.glob(os.path.join(args.dataset, "*.bmp")))
+    paths.extend(inputs)
+    if not paths:
+        print(f"error: no .bmp files under {args.dataset}", file=sys.stderr)
+        return 1
+    out_dir = args.output or "."
+
+    t0 = time.perf_counter()
+    try:
+        result = multihost.encode_dataset(
+            paths, out_dir, config, resume=not args.no_resume
+        )
+    except (OSError, ValueError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    summary = multihost.global_summary(result)
+    elapsed = time.perf_counter() - t0
+    line = {
+        "process_index": idx,
+        "process_count": count,
+        "encoded": result.encoded,
+        "skipped": result.skipped,
+        "output_bytes": result.output_bytes,
+        "manifest": result.manifest_path,
+        "summary": summary,
+    }
+    if args.timing:
+        line["seconds"] = elapsed
+    print(json.dumps(line))
     return 0
 
 

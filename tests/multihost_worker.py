@@ -10,7 +10,6 @@ Not a pytest module (no test_ prefix): invoked as
 `python tests/multihost_worker.py <coordinator> <pid> <nproc> <src> <out>`.
 """
 
-import glob
 import json
 import os
 import sys
@@ -34,21 +33,31 @@ def main() -> int:
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+    from jpeg_encoder_tpu import cli
     from jpeg_encoder_tpu.config import EncoderConfig
-    from jpeg_encoder_tpu.parallel import multihost
 
-    idx, count = multihost.initialize(
-        coordinator_address=coordinator,
-        num_processes=int(nproc),
-        process_id=int(pid),
-    )
+    # Phase 1 drives the CLI's --dataset surface (the user-facing entry
+    # for BASELINE config 5): rendezvous, strided shares, manifest,
+    # cross-process summary — all through argument parsing, exactly as a
+    # pod-slice user would invoke it.
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli.main([
+            "--dataset", src_dir, "-o", out_dir, "-s", "4:2:0",
+            "--coordinator", coordinator,
+            "--process-id", pid, "--num-processes", nproc,
+            "--timing",
+        ])
+    assert rc == 0, f"cli --dataset failed (rc={rc}):\n{buf.getvalue()}"
+    cli_line = json.loads(buf.getvalue().strip().splitlines()[-1])
+    idx, count = cli_line["process_index"], cli_line["process_count"]
     assert idx == int(pid), (idx, pid)
     assert count == int(nproc), (count, nproc)
-
-    paths = sorted(glob.glob(os.path.join(src_dir, "*.bmp")))
+    summary = cli_line["summary"]
     config = EncoderConfig(subsampling_ratio=(4, 2, 0))
-    res = multihost.encode_dataset(paths, out_dir, config)
-    summary = multihost.global_summary(res)
 
     # Phase 2: ONE image's MCU bands sharded across the GLOBAL mesh (both
     # processes' devices): ppermute DC chaining and the replicated-output
@@ -77,9 +86,9 @@ def main() -> int:
                 "process_count": count,
                 "local_devices": len(jax.local_devices()),
                 "global_devices": len(jax.devices()),
-                "encoded": res.encoded,
-                "skipped": res.skipped,
-                "manifest_path": res.manifest_path,
+                "encoded": cli_line["encoded"],
+                "skipped": cli_line["skipped"],
+                "manifest_path": cli_line["manifest"],
                 "summary": summary,
                 "tiled_bytes": len(tiled_result.file_bytes),
                 "tiled_bits": int(tiled_result.bit_length),

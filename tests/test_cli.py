@@ -92,6 +92,62 @@ def test_tile_bands_matches_single_device(tmp_path, rng):
     assert tiled.read_bytes() == plain.read_bytes()
 
 
+def test_dataset_mode_single_process(tmp_path, rng, capsys):
+    """--dataset DIR is the CLI surface of parallel/multihost: it encodes
+    everything locally in a single-process run, writes a manifest, prints
+    a summary JSON line, and resumes (skips) on a rerun."""
+    import json
+
+    from jpeg_encoder_tpu import pipeline
+    from jpeg_encoder_tpu.config import EncoderConfig
+
+    src = tmp_path / "src"
+    src.mkdir()
+    images = {}
+    for i in range(3):
+        rgb = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+        bmp.write(src / f"img{i}.bmp", rgb)
+        images[f"img{i}"] = rgb
+    out = tmp_path / "out"
+    assert cli.main(
+        ["--dataset", str(src), "-o", str(out), "-s", "4:2:0", "--timing"]
+    ) == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["process_count"] == 1
+    assert line["encoded"] == 3 and line["skipped"] == 0
+    assert line["summary"]["encoded"] == 3
+    assert "seconds" in line
+    assert (out / "manifest-00000.json").exists()
+    config = EncoderConfig(subsampling_ratio=(4, 2, 0))
+    for name, rgb in images.items():
+        got = (out / f"{name}.jpeg").read_bytes()
+        assert got == pipeline.encode_array(rgb, config).file_bytes, name
+
+    # Rerun: the manifest marks everything done -> all skipped.
+    assert cli.main(["--dataset", str(src), "-o", str(out)]) == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["encoded"] == 0 and line["skipped"] == 3
+
+    # --no-resume forces re-encoding.
+    assert cli.main(
+        ["--dataset", str(src), "-o", str(out), "--no-resume"]
+    ) == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["encoded"] == 3 and line["skipped"] == 0
+
+
+def test_dataset_mode_empty_dir(tmp_path, capsys):
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert cli.main(["--dataset", str(empty), "-o", str(tmp_path)]) == 1
+    assert "no .bmp files" in capsys.readouterr().err
+
+
+def test_requires_image_or_dataset(capsys):
+    assert cli.main([]) == 2
+    assert "--image or --dataset" in capsys.readouterr().err
+
+
 def test_batch_devices_flag(tmp_path, rng):
     for i in range(4):
         bmp.write(
