@@ -88,6 +88,12 @@ def _kernel(
             while r.shape[1] > 128:
                 hlf = r.shape[1] // 2
                 r = r[:, :hlf] | r[:, hlf:]
+            # Lane dims in (1, 128) don't broadcast against the (8, 128)
+            # accumulator (e.g. ONEHOT=col's (t2, ROWS_LOC=64) one-hots):
+            # halve down to 1 so the OR broadcasts.
+            while 1 < r.shape[1] < 128 and r.shape[1] % 2 == 0:
+                hlf = r.shape[1] // 2
+                r = r[:, :hlf] | r[:, hlf:]
             red = red | r
         out_ref[0:8, :] = out_ref[0:8, :] | red
         bits_ref[0, 0] = 0
