@@ -316,18 +316,20 @@ def _pack_plane_t(plane: jnp.ndarray) -> jnp.ndarray:
     """Padded (H, W) uint8 plane -> (16, N) i32 packed transposed layout.
 
     Row r holds pixels (x = r // 2, y = 4 * (r % 2) + 0..3) of every 8x8
-    block, one block per lane, 4 pixels per little-endian i32 word. ONE
-    bitcast-i32 transpose builds it (0.66 ms per 1080p batch-8 plane vs
-    1.36 for blockify + i16 pad + transpose; layout verified against
-    sample.blockify in tools' exp)."""
+    block, one block per lane, 4 pixels per little-endian i32 word. Built
+    as two staged transposes — first hoist the word parity (the y quad)
+    out of the minor dim over the FLAT pixel-row axis, then split rows
+    into (by, 8) and hoist x — which XLA emits 3x faster than the direct
+    (by,8,bx,2)->(1,3,0,2) permutation (1.15 vs 3.47 ms for 3 full 1080p
+    batch-8 planes; tools/exp_pack_t.py — output verified identical)."""
     hgt, wdt = plane.shape
     by, bx = hgt // 8, wdt // 8
     p32 = jax.lax.bitcast_convert_type(
         plane.reshape(hgt, wdt // 4, 4), jnp.int32
     )
-    return (
-        p32.reshape(by, 8, bx, 2).transpose(1, 3, 0, 2).reshape(16, by * bx)
-    )
+    t = p32.reshape(by * 8, bx, 2).transpose(2, 0, 1)    # (2, 8by, bx)
+    t = t.reshape(2, by, 8, bx).transpose(2, 0, 1, 3)    # (8, 2, by, bx)
+    return t.reshape(16, by * bx)
 
 
 def _plane_pack_t(y_plane, cb_plane, cr_plane, tile):
