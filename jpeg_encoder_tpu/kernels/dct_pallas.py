@@ -228,8 +228,32 @@ def _unpack_pixel_rows(xw, shift: int = 0):
     return rows
 
 
-def _realdct_t_planes_kernel(
+def _realdct_t_planes_cols_kernel(
     x_ref, at_ref, bt_ref, sq_ref, out_ref, *, tile, ny
+):
+    out_ref[:] = _realdct_t_planes_chain(
+        x_ref, at_ref, bt_ref, sq_ref, tile=tile, ny=ny
+    )
+
+
+def _realdct_t_planes_rows_kernel(
+    x_ref, at_ref, bt_ref, sq_ref, out_ref, *, tile, ny
+):
+    """Same chain, but the (64, T) result transposes in-VMEM and writes
+    (T, 64) rows — the scan marshal's input layout — so no XLA relayout
+    of the full coefficient array exists downstream. Measured per ratio:
+    a large win where the marshal regroups rows (4:2:0 1939 -> 2098,
+    4:2:2 bin 1414 -> 1631 Mpix/s) but a ~0.5 ms loss at 4:4:4, whose
+    lane-concat marshal preferred the cols + XLA .T form — so the
+    wrappers pick the form by geometry (tools/exp_dct_outrows,
+    bench_cell r4)."""
+    out_ref[:] = _realdct_t_planes_chain(
+        x_ref, at_ref, bt_ref, sq_ref, tile=tile, ny=ny
+    ).T
+
+
+def _realdct_t_planes_chain(
+    x_ref, at_ref, bt_ref, sq_ref, *, tile, ny
 ):
     """Transposed chain over the 3-plane concat: per-LANE quant select.
 
@@ -255,7 +279,16 @@ def _realdct_t_planes_kernel(
         pid * tile + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
     ) < ny
     q = jnp.where(is_luma, sq_ref[:, 1:2], sq_ref[:, 2:3])
-    out_ref[:] = jnp.trunc((s_col * acc) / q).astype(jnp.int16)
+    return jnp.trunc((s_col * acc) / q).astype(jnp.int16)
+
+
+def _out_rows_default(y_plane, cb_plane) -> bool:
+    """Pick the kernel's output form by geometry: in-kernel transposed
+    (N, 64) rows when chroma is subsampled (the marshal's regroup path
+    prefers row inputs), (64, N) cols + XLA .T at 4:4:4 (equal plane
+    shapes), whose lane-concat marshal measured faster on the cols form.
+    """
+    return y_plane.shape != cb_plane.shape
 
 
 def real_dct_quant_planes_zigzag_pallas_t(
@@ -264,6 +297,7 @@ def real_dct_quant_planes_zigzag_pallas_t(
     cr_plane: jnp.ndarray,
     interpret: bool = False,
     quality: int | None = None,
+    out_rows: bool | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """All three planes through ONE transposed-chain kernel.
 
@@ -292,23 +326,40 @@ def real_dct_quant_planes_zigzag_pallas_t(
     sq[:, 0] = scale.reshape(64)
     sq[:, 1] = qy.reshape(64)
     sq[:, 2] = qc.reshape(64)
-    out_t = pl.pallas_call(
-        functools.partial(_realdct_t_planes_kernel, tile=T_TILE, ny=ny),
-        grid=(padded_n // T_TILE,),
-        in_specs=[
-            pl.BlockSpec((16, T_TILE), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((64, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((64, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((64, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (64, T_TILE), lambda i: (0, i), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((64, padded_n), jnp.int16),
-        interpret=interpret,
-    )(xp, at, bt, jnp.asarray(sq))
-    out = out_t.T
+    if out_rows is None:
+        out_rows = _out_rows_default(y_plane, cb_plane)
+    in_specs = [
+        pl.BlockSpec((16, T_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((64, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((64, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((64, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    if out_rows:
+        out = pl.pallas_call(
+            functools.partial(
+                _realdct_t_planes_rows_kernel, tile=T_TILE, ny=ny
+            ),
+            grid=(padded_n // T_TILE,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (T_TILE, 64), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((padded_n, 64), jnp.int16),
+            interpret=interpret,
+        )(xp, at, bt, jnp.asarray(sq))
+    else:
+        out = pl.pallas_call(
+            functools.partial(
+                _realdct_t_planes_cols_kernel, tile=T_TILE, ny=ny
+            ),
+            grid=(padded_n // T_TILE,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (64, T_TILE), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((64, padded_n), jnp.int16),
+            interpret=interpret,
+        )(xp, at, bt, jnp.asarray(sq)).T
     return out[:ny], out[ny : ny + nc], out[ny + nc : n]
 
 
@@ -380,7 +431,9 @@ def _lift8_rows(x: list[jnp.ndarray]) -> list[jnp.ndarray]:
     return [t0, t7, t3, t6, t1, t5, t2, t4]
 
 
-def _bindct_t_planes_kernel(x_ref, q_ref, out_ref, *, tile, ny, descale):
+def _bindct_t_planes_kernel(
+    x_ref, q_ref, out_ref, *, tile, ny, descale, out_rows=True
+):
     """Transposed-layout binDCT over the 3-plane concat.
 
     Block positions are SUBLANES here, so every lifting input is a (1, T)
@@ -414,14 +467,21 @@ def _bindct_t_planes_kernel(x_ref, q_ref, out_ref, *, tile, ny, descale):
     if descale:
         s = q_ref[:, 0:1]                            # f32 descale gains
         q = jnp.where(is_luma, q_ref[:, 1:2], q_ref[:, 2:3])
-        out_ref[:] = jnp.trunc(
+        res = jnp.trunc(
             zigzagged.astype(jnp.float32) * s / q
         ).astype(jnp.int16)
     else:
         q = jnp.where(is_luma, q_ref[:, 0:1], q_ref[:, 1:2])
-        out_ref[:] = (
+        res = (
             jnp.sign(zigzagged) * (jnp.abs(zigzagged) // q)
         ).astype(jnp.int16)
+    if out_rows:
+        # In-VMEM transpose: write (T, 64) scan-marshal rows directly (no
+        # XLA relayout of the coefficient array downstream; see the rows
+        # form of the RealDCT kernel above for the per-ratio measurement).
+        out_ref[:] = res.T
+    else:
+        out_ref[:] = res
 
 
 def bin_dct_quant_planes_zigzag_pallas_t(
@@ -431,6 +491,7 @@ def bin_dct_quant_planes_zigzag_pallas_t(
     interpret: bool = False,
     quality: int | None = None,
     descale: bool = False,
+    out_rows: bool | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """All three planes through ONE transposed binDCT kernel.
 
@@ -455,23 +516,38 @@ def bin_dct_quant_planes_zigzag_pallas_t(
         q[:, 0] = qy.reshape(64)
         q[:, 1] = qc.reshape(64)
     padded_n = xp.shape[1]
-    out_t = pl.pallas_call(
-        functools.partial(
-            _bindct_t_planes_kernel, tile=T_TILE, ny=ny, descale=descale
-        ),
-        grid=(padded_n // T_TILE,),
-        in_specs=[
-            pl.BlockSpec((16, T_TILE), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((64, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (64, T_TILE), lambda i: (0, i), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((64, padded_n), jnp.int16),
-        interpret=interpret,
-    )(xp, jnp.asarray(q))
-    out = out_t.T
+    if out_rows is None:
+        out_rows = _out_rows_default(y_plane, cb_plane)
+    in_specs = [
+        pl.BlockSpec((16, T_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((64, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    kern = functools.partial(
+        _bindct_t_planes_kernel, tile=T_TILE, ny=ny, descale=descale,
+        out_rows=out_rows,
+    )
+    if out_rows:
+        out = pl.pallas_call(
+            kern,
+            grid=(padded_n // T_TILE,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (T_TILE, 64), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((padded_n, 64), jnp.int16),
+            interpret=interpret,
+        )(xp, jnp.asarray(q))
+    else:
+        out = pl.pallas_call(
+            kern,
+            grid=(padded_n // T_TILE,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (64, T_TILE), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((64, padded_n), jnp.int16),
+            interpret=interpret,
+        )(xp, jnp.asarray(q)).T
     return out[:ny], out[ny : ny + nc], out[ny + nc : n]
 
 

@@ -516,13 +516,22 @@ def pack_entries_pallas(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Level-1 masked-OR + sequential Pallas bitstream assembly.
 
-    Same contract as pack_entries; the capacity buffer must fit VMEM
-    (kernels/pack_pallas.MAX_VMEM_CAPACITY) — the pipeline falls back to
-    pack_entries beyond that.
+    Same contract as pack_entries. This is the middle VERIFICATION tier
+    (production uses the fused kernel, whose VMEM budget is 6x larger):
+    its resident output must fit pack_pallas.MAX_VMEM_CAPACITY, and
+    callers holding bigger buffers (e.g. 4K worst-case retry capacities)
+    must use pack_entries or the fused packer — enforced here rather
+    than left to a silent slow compile.
     """
     from jpeg_encoder_tpu.kernels import pack_pallas
 
     assert capacity_bytes % 4 == 0
+    if capacity_bytes > pack_pallas.MAX_VMEM_CAPACITY:
+        raise ValueError(
+            f"packer='pallas' holds its {capacity_bytes}-byte output "
+            f"resident in VMEM (cap {pack_pallas.MAX_VMEM_CAPACITY}); use "
+            "the 'fused' or 'xla' packer for buffers this large"
+        )
     entry_words, entry_bits = _pack_level1(slot_bits, slot_lens)
     start_bit = jnp.cumsum(entry_bits) - entry_bits
     total_bits = (start_bit[-1] + entry_bits[-1]).astype(jnp.int32)

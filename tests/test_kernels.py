@@ -107,6 +107,27 @@ def test_transposed_planes_dct_matches_ops_fusion(rng):
         assert np.array_equal(np.asarray(w), np.asarray(g))
 
 
+def test_transposed_planes_output_forms_agree(rng):
+    """The kernels pick their output form by geometry (in-kernel
+    transposed rows when chroma is subsampled, cols + XLA .T at 4:4:4);
+    both forms must be bit-identical for either kernel at either
+    geometry."""
+    import jax.numpy as jnp
+
+    for shapes in (((240, 160), (120, 80)), ((80, 80), (80, 80))):
+        yp = jnp.asarray(rng.integers(0, 256, shapes[0], dtype=np.uint8))
+        cbp = jnp.asarray(rng.integers(0, 256, shapes[1], dtype=np.uint8))
+        crp = jnp.asarray(rng.integers(0, 256, shapes[1], dtype=np.uint8))
+        for fn in (
+            dct_pallas.real_dct_quant_planes_zigzag_pallas_t,
+            dct_pallas.bin_dct_quant_planes_zigzag_pallas_t,
+        ):
+            rows = fn(yp, cbp, crp, interpret=True, out_rows=True)
+            cols = fn(yp, cbp, crp, interpret=True, out_rows=False)
+            for r, c in zip(rows, cols):
+                assert np.array_equal(np.asarray(r), np.asarray(c))
+
+
 @pytest.mark.slow
 def test_transposed_dct_config_end_to_end(rng):
     """EncoderConfig(transposed_dct=True) must produce byte-identical files

@@ -72,7 +72,7 @@ def _kernel_t(im):
 
     out_t = pl.pallas_call(
         functools.partial(
-            dct_pallas._realdct_t_planes_kernel,
+            dct_pallas._realdct_t_planes_rows_kernel,
             tile=dct_pallas.T_TILE, ny=ny,
         ),
         grid=(padded_n // dct_pallas.T_TILE,),
@@ -84,10 +84,10 @@ def _kernel_t(im):
             pl.BlockSpec((64, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (64, dct_pallas.T_TILE), lambda i: (0, i),
+            (dct_pallas.T_TILE, 64), lambda i: (i, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((64, padded_n), jnp.int16),
+        out_shape=jax.ShapeDtypeStruct((padded_n, 64), jnp.int16),
     )(xp, at, bt, jnp.asarray(sq))
     return out_t, ny, nc, n
 
@@ -98,8 +98,9 @@ def stage_kernel(im):
 
 
 def stage_transpose(im):
-    out_t, ny, nc, n = _kernel_t(im)
-    out = out_t.T
+    # rows kernel already emits (N, 64): the "transpose" stage is now a
+    # split only (kept so the stage list and history stay comparable).
+    out, ny, nc, n = _kernel_t(im)
     return out[:ny], out[ny:ny + nc], out[ny + nc:n]
 
 

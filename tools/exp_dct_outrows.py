@@ -25,7 +25,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from jpeg_encoder_tpu.kernels import dct_pallas
 from jpeg_encoder_tpu.kernels.dct_pallas import (
-    T_TILE, _plane_pack_t, _realdct_constants, _realdct_t_planes_kernel,
+    T_TILE, _plane_pack_t, _realdct_constants, _realdct_t_planes_rows_kernel,
     _unpack_pixel_rows,
 )
 
