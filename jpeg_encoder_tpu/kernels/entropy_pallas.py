@@ -331,38 +331,55 @@ def _entropy_kernel(
     ).astype(jnp.int32)
     pair_bits = incl[:, 127:128]         # (T2, 1)
 
-    # Tile-local pair-offset scan, SUBLANE-wise on the (T2, 1) column.
-    # This sits on the critical path of everything downstream (the packing
-    # phase folds the stream offsets in), so latency matters more than op
-    # count: the log-scan over sublane rolls keeps every step a wide
-    # parallel vreg shuffle, while the earlier (T2,1)->(1,T2)->(T2,1)
-    # relayout + lane-scan form exposed ~3.1 ms/batch of narrow-op latency
-    # at 4:4:4 once the packing became offset-dependent (measured:
-    # full kernel 10.6 -> 9.0 ms/batch — tools/exp_kernel_sections.py).
-    row2a = _lane_iota((t2, 1), 0)
-    incl_p = pair_bits
-    k = 1
-    while k < t2:
-        incl_p = incl_p + jnp.where(row2a >= k, pltpu.roll(incl_p, k, 0), 0)
-        k *= 2
+    # Tile-local pair-offset scan in a compact (g128, 128) layout with
+    # pair p at [p % g128, p // g128] (reshape + transpose — the only
+    # reshape direction Mosaic supports here). Consecutive pairs run down
+    # the SUBLANES of each column, so the full scan is a 3-step sublane
+    # scan (8 vregs/step) plus a 7-step lane scan of the column totals
+    # (ONE vreg/step) — replacing the 10-step log-scan on the narrow
+    # (t2, 1) column (128 vregs/step), the kernel's single most expensive
+    # section (full kernel 9.0 -> 8.2 ms/batch at 4:4:4;
+    # tools/exp_kernel_sections.py SCANFORM=repeat). Expansion back to a
+    # full (t2, 128) broadcast: pltpu.repeat tiles the (g128, 128) block
+    # 128x down the sublanes — rep[r] = off8[r % g128] — and one static
+    # per-row lane gather picks lane r // g128, i.e. exactly pair r.
     base = carry[0]
-    carry[0] = base + incl_p[t2 - 1, 0]
+    g128 = t2 // 128
+    gshift = g128.bit_length() - 1
+    assert g128 == 1 << gshift
+    mt = pair_bits.reshape(128, g128).T        # (g128, 128): pair j*g + g'
+    incl8 = mt
+    rr8 = _lane_iota((g128, 128), 0)
+    k = 1
+    while k < g128:                            # sublane scan down columns
+        incl8 = incl8 + jnp.where(rr8 >= k, pltpu.roll(incl8, k, 0), 0)
+        k *= 2
+    col_tot = incl8[g128 - 1 : g128, :]        # (1, 128) per-column total
+    ex = _shift_lanes(col_tot, 1, 0)           # exclusive lane prefix of
+    k = 1                                      # the column totals
+    while k < 128:
+        ex = ex + _shift_lanes(ex, k, 0)
+        k *= 2
+    incl8 = incl8 + ex                         # (g128, 128) inclusive
+    carry[0] = base + incl8[g128 - 1, 127]
     bits_ref[0, 0] = carry[0]
     # Clamp windows into bounds (overflow is detected via total_bits).
     max_off = (num_words - 2 * ENTRY_WORDS - 1) * 32
-    exc_p = incl_p - pair_bits
-    off_p = jnp.minimum(base + exc_p, max_off)
-    off_row = jnp.minimum(base + exc_p.reshape(1, t2), max_off)  # (1, T2)
+    off8 = jnp.minimum(base + incl8 - mt, max_off)
+    rep = pltpu.repeat(off8, 128, 0)           # (t2, 128): row r = p%g128
+    idxm = _lane_iota((t2, 128), 0) >> gshift  # lane r // g128 = pair r
+    off_b = jnp.take_along_axis(rep, idxm, axis=1)  # (t2, 128) broadcast
+    off_col = off_b[:, 0:1]                    # (t2, 1) narrow view
 
     # ---- slot codes -> ALIGNED pair word buffer (<= 111 of 128 lanes) ----
-    # The pair's sub-word phase (off_p & 31) is FOLDED INTO the slot
+    # The pair's sub-word phase (off_b & 31) is FOLDED INTO the slot
     # offsets before packing — one broadcast add — so the packed words
     # come out already aligned to the absolute 32-bit word grid and no
     # post-hoc alignment shift exists. (The previous form packed at phase
     # 0 and realigned with two variable-amount shifts, which Mosaic lowers
     # to ~20-op conditional-shift networks each: +2.7 ms/batch at 4:4:4,
     # the kernel's single largest section — tools/exp_kernel_sections.py.)
-    sbit = off_p & 31
+    sbit = off_b & 31
     local_off = incl - slot_lens + sbit  # aligned exclusive offsets
     start = local_off & 31
     end = start + slot_lens
@@ -423,7 +440,7 @@ def _entropy_kernel(
     # occupies <= 111 aligned words (31 phase bits + 128 slots * 27 bits,
     # + spill), so from any start lane <= 127 it ends before word 256 —
     # two rows, never three.
-    q_a = off_p >> 5
+    q_a = off_col >> 5
     r_a = q_a >> 7                       # (T2, 1) first output row of pair
     l_a = q_a & 127
     w_rel = (lane - l_a) & 127
@@ -450,10 +467,15 @@ def _entropy_kernel(
     fits = ((carry[0] - 1) >> 12) - r_first <= rows_loc - 2
 
     def matmul_assembly():
-        r_rel = (off_row >> 12) - r_first          # (1, T2)
-        ii_r = jax.lax.broadcasted_iota(jnp.int32, (rows_loc, t2), 0)
-        a0 = (ii_r == r_rel).astype(jnp.bfloat16)
-        a1 = (ii_r == r_rel + 1).astype(jnp.bfloat16)
+        # Column-form one-hots: (t2, rows_loc) built straight from the
+        # (t2, 1) pair rows — no (1, t2) lane-major offset form exists in
+        # the repeat-scan layout — consumed by a dim-0-contracting
+        # dot_general (same MXU work, transposed operand order).
+        r_rel_c = (off_col >> 12) - r_first        # (T2, 1)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (t2, rows_loc), 1)
+        a0 = (jj == r_rel_c).astype(jnp.bfloat16)  # (T2, rows_loc)
+        a1 = (jj == r_rel_c + 1).astype(jnp.bfloat16)
+        dn = (((0,), (0,)), ((), ()))
         acc_loc = jnp.zeros((rows_loc, 128), jnp.uint32)
         for kk in range(4):
             c0k = ((c0 >> (8 * kk)) & 0xFF).astype(jnp.int32).astype(
@@ -462,8 +484,10 @@ def _entropy_kernel(
             c1k = ((c1 >> (8 * kk)) & 0xFF).astype(jnp.int32).astype(
                 jnp.bfloat16
             )
-            s = jnp.dot(a0, c0k, preferred_element_type=jnp.float32) + (
-                jnp.dot(a1, c1k, preferred_element_type=jnp.float32)
+            s = jax.lax.dot_general(
+                a0, c0k, dn, preferred_element_type=jnp.float32
+            ) + jax.lax.dot_general(
+                a1, c1k, dn, preferred_element_type=jnp.float32
             )
             acc_loc = acc_loc | (
                 s.astype(jnp.int32).astype(jnp.uint32) << (8 * kk)
@@ -541,6 +565,7 @@ def encode_entropy_fused(
     fallback alone (byte-identity coverage).
     """
     assert capacity_bytes % 4 == 0
+    assert TILE % 256 == 0  # the two-level offset scan groups t2 by 128
     num_entries = z.shape[0]
     num_words = capacity_bytes // 4
     # Data rows + the matmul window's slack (a tile whose pairs start on

@@ -245,7 +245,37 @@ def _kernel(
     onehot = _os.environ.get("ONEHOT", "row")  # row (prod) | col (no relayout)
     base = carry[0]
     max_off = (num_words - 2 * ep.ENTRY_WORDS - 1) * 32
-    if scanform == "lane":
+    if scanform == "repeat":
+        # Two-level: (t2, 1) -> (t2//128, 128) (supported direction),
+        # intra-row prefix via 8-bit-chunk tri matmuls, tiny cross-row
+        # scan, then EXPAND back to a (t2, 128) broadcast with
+        # pltpu.repeat + one static per-row lane gather — sidestepping
+        # the (8,128)->(t2,1) shape cast Mosaic rejects (mxu form).
+        g = pair_bits.reshape(t2 // 128, 128)
+        tri_i = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        tri2 = (tri_i <= jax.lax.broadcasted_iota(
+            jnp.int32, (128, 128), 1)).astype(jnp.bfloat16)
+        pref = jnp.zeros_like(g)
+        for kk in range(2):
+            ck = ((g >> (8 * kk)) & 0xFF).astype(jnp.bfloat16)
+            pk = jnp.dot(ck, tri2, preferred_element_type=jnp.float32)
+            pref = pref + (pk.astype(jnp.int32) << (8 * kk))
+        rows_tot = pref[:, 127:128]
+        rr8 = jax.lax.broadcasted_iota(jnp.int32, (t2 // 128, 1), 0)
+        sc = rows_tot
+        k = 1
+        while k < t2 // 128:
+            sc = sc + jnp.where(rr8 >= k, pltpu.roll(sc, k, 0), 0)
+            k *= 2
+        incl8 = pref + (sc - rows_tot)           # (t2//128, 128) inclusive
+        carry[0] = base + incl8[t2 // 128 - 1, 127]
+        off8 = jnp.minimum(base + incl8 - g, max_off)
+        rep = pltpu.repeat(off8, 128, 0)          # (t2, 128) grouped rows
+        idxm = jax.lax.broadcasted_iota(jnp.int32, (t2, 128), 0) & 127
+        off_p = jnp.take_along_axis(rep, idxm, axis=1)  # (t2,128) bcast
+        incl_p = off_p                            # for stage probes only
+        off_row = None                            # forces ONEHOT=col path
+    elif scanform == "lane":
         pb_row = pair_bits.reshape(1, t2)
         incl_row = pb_row
         k = 1
@@ -353,7 +383,7 @@ def _kernel(
         finish(ew, pair_bits)
         return
 
-    q_a = off_p >> 5
+    q_a = off_p[:, 0:1] >> 5
     r_a = q_a >> 7
     l_a = q_a & 127
     w_rel = (lane - l_a) & 127
@@ -370,7 +400,7 @@ def _kernel(
         # Column-form one-hots: (t2, ROWS_LOC) built straight from the
         # (t2, 1) pair offsets — no (t2,1)->(1,t2) relayout anywhere —
         # consumed by a dim-0-contracting dot_general (transposed matmul).
-        r_rel_c = (off_p >> 12) - r_first            # (t2, 1)
+        r_rel_c = (off_p[:, 0:1] >> 12) - r_first    # (t2, 1)
         jj = jax.lax.broadcasted_iota(jnp.int32, (t2, ROWS_LOC), 1)
         a0 = (jj == r_rel_c).astype(jnp.bfloat16)    # (t2, ROWS_LOC)
         a1 = (jj == r_rel_c + 1).astype(jnp.bfloat16)
