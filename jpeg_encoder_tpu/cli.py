@@ -178,9 +178,10 @@ def main(argv: list[str] | None = None) -> int:
     print(f'dct algorithm: "{args.dct_algorithm}"')
     print()
 
-    from jpeg_encoder_tpu.utils import compile_cache
+    from jpeg_encoder_tpu.utils import aot_cache, compile_cache
 
     compile_cache.enable()  # cold starts pay the compile ONCE per config
+    aot_cache.enable()  # ... and later starts skip even trace+lower
     from jpeg_encoder_tpu import pipeline  # defer jax import past arg errors
     from jpeg_encoder_tpu.io import bmp
 
@@ -239,9 +240,10 @@ def _run_dataset(inputs: list[str], args, config: EncoderConfig) -> int:
     """
     import os
 
-    from jpeg_encoder_tpu.utils import compile_cache
+    from jpeg_encoder_tpu.utils import aot_cache, compile_cache
 
     compile_cache.enable()
+    aot_cache.enable()
     from jpeg_encoder_tpu.parallel import multihost
 
     kwargs = {}
@@ -301,9 +303,10 @@ def _run_batch(inputs: list[str], args, config: EncoderConfig) -> int:
     import collections
     import os
 
-    from jpeg_encoder_tpu.utils import compile_cache
+    from jpeg_encoder_tpu.utils import aot_cache, compile_cache
 
     compile_cache.enable()
+    aot_cache.enable()
     from jpeg_encoder_tpu.io import bmp
     from jpeg_encoder_tpu.parallel import batch as batch_lib
     from jpeg_encoder_tpu.parallel import mesh as mesh_lib

@@ -30,6 +30,7 @@ from jpeg_encoder_tpu import tables
 from jpeg_encoder_tpu.config import DctAlgorithm, EncoderConfig, FrameGeometry
 from jpeg_encoder_tpu.io import bmp, jfif
 from jpeg_encoder_tpu.ops import color, dct, entropy, sample
+from jpeg_encoder_tpu.utils import aot_cache
 
 # Hard upper bound on packed bits per scan entry (one 8x8 block):
 # DC slot <= 11+11, 63 AC slots <= 16+10, EOB <= 16. We use the round
@@ -239,7 +240,15 @@ def compiled_encoder(
     quality: int | None = None,
     transposed_dct: bool | None = None,
 ):
-    """Jitted encode_core for one static configuration (cached)."""
+    """Jitted encode_core for one static configuration (cached).
+
+    With utils/aot_cache enabled (the CLI does), the compiled executable
+    is deserialized straight from disk — skipping trace + lower +
+    compile-cache load, the ~8 s that otherwise dominate a warm process
+    start (tools/exp_aot_warmstart.py) — and serialized back on a miss.
+    The input shape is fully determined by `geom`, so the example spec
+    needs no caller input.
+    """
 
     def fn(rgb: jnp.ndarray) -> dict[str, jnp.ndarray]:
         return encode_core(
@@ -247,7 +256,20 @@ def compiled_encoder(
             validate, with_coeffs, bin_dct_descale, quality, transposed_dct,
         )
 
-    return jax.jit(fn)
+    jitted = jax.jit(fn)
+    if aot_cache.enabled():
+        spec = jax.ShapeDtypeStruct(
+            (geom.height, geom.width, 3), jnp.uint8
+        )
+        key = (
+            "encode_core", geom, algorithm.value, capacity_bytes, fast_dct,
+            use_pallas, validate, with_coeffs, bin_dct_descale, quality,
+            transposed_dct,
+        )
+        loaded = aot_cache.get_or_build(key, jitted, spec)
+        if loaded is not None:
+            return loaded
+    return jitted
 
 
 def validate_scan_ranges(max_dc_diff: int, max_ac: int) -> None:
