@@ -85,6 +85,13 @@ def build_parser() -> argparse.ArgumentParser:
         "fidelity, bigger files). Omit for reference-parity fixed tables",
     )
     parser.add_argument(
+        "--restart-interval", type=int, default=None, metavar="N",
+        help="emit DRI/RSTn restart markers every N MCUs: each interval is "
+        "an independently decodable scan segment (DC predictors reset, "
+        "byte-aligned), making the file parallel-decodable. Off by default "
+        "(reference parity: one unbroken scan)",
+    )
+    parser.add_argument(
         "--fast-dct", action="store_true",
         help="use the MXU matmul RealDCT (fastest; quantized coefficients may "
         "differ from the scalar reference in ~1e-5 of values)",
@@ -160,6 +167,7 @@ def main(argv: list[str] | None = None) -> int:
             fast_dct=args.fast_dct,
             bin_dct_descale=args.bin_dct_descale,
             quality=args.quality,
+            restart_interval=args.restart_interval,
         )
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)

@@ -186,6 +186,14 @@ class EncoderConfig:
     # 4:2:0/4:2:2/4:4:4 (tools/exp_dct_chain_t.py, chip_session.log r2).
     # False forces the XLA ordered chain (the bit-exactness oracle path).
     transposed_dct: bool | None = None
+    # Emit DRI/RSTn restart markers every N MCUs (1..65535). Each restart
+    # interval is an independently decodable scan segment: DC predictors
+    # reset, the bitstream byte-aligns (1-padded, per spec) before each
+    # marker. JPEG's native answer to parallel decode AND to the band-splice
+    # problem the tiled encoder otherwise solves with bit-level splicing.
+    # None (default) = reference scope: a single unbroken scan
+    # (file.rs:77-90 has no DRI segment).
+    restart_interval: int | None = None
     # Check the reference's entropy-range invariants (DC difference category
     # <= 11, AC size <= 10 — panics in entropy_coding.rs:153-155,188-191)
     # and raise host-side before emitting a corrupt scan. Unreachable for
@@ -196,6 +204,13 @@ class EncoderConfig:
         if self.quality is not None and not 1 <= self.quality <= 100:
             raise ValueError(
                 f"quality must be in 1..100, got {self.quality}"
+            )
+        if self.restart_interval is not None and not (
+            1 <= self.restart_interval <= 65535
+        ):
+            raise ValueError(
+                "restart interval must be in 1..65535 MCUs, got "
+                f"{self.restart_interval}"
             )
 
     def geometry(self, width: int, height: int) -> FrameGeometry:

@@ -51,6 +51,13 @@ def dht_segment(coeff_type: int, table_id: int, spec: tables.HuffmanSpec) -> byt
     return b"\xff\xc4" + body
 
 
+def dri_segment(restart_interval_mcus: int) -> bytes:
+    """Define Restart Interval: RSTn markers every N MCUs (ITU-T T.81
+    B.2.4.4). Absent from the reference (file.rs has no DRI writer) —
+    emitted only in the opt-in restart-marker extension mode."""
+    return b"\xff\xdd" + struct.pack(">HH", 4, restart_interval_mcus)
+
+
 def sos_segment() -> bytes:
     body = struct.pack(">HB", 12, 3)
     for comp_id, dc_ac in ((1, 0x00), (2, 0x11), (3, 0x11)):
@@ -87,28 +94,34 @@ def stuff_bytes(payload: np.ndarray) -> bytes:
     return out.tobytes()
 
 
-def header_bytes(geom: FrameGeometry, quality: int | None = None) -> bytes:
+def header_bytes(
+    geom: FrameGeometry,
+    quality: int | None = None,
+    restart_interval: int | None = None,
+) -> bytes:
     """Everything before the entropy-coded scan payload.
 
     `quality` selects the DQT contents (tables.scaled_quant_tables); it must
     match the tables the coefficients were quantized with. None = the
-    reference's fixed Annex-K tables.
+    reference's fixed Annex-K tables. `restart_interval` (MCUs) inserts a
+    DRI segment before SOS; None = reference parity (no DRI).
     """
     q_luma, q_chroma = tables.scaled_quant_tables(quality)
-    return b"".join(
-        [
-            SOI,
-            app0_segment(),
-            dqt_segment(0, q_luma),
-            dqt_segment(1, q_chroma),
-            sof0_segment(geom),
-            dht_segment(0, 0, tables.Y_DC_HUFFMAN),
-            dht_segment(0, 1, tables.C_DC_HUFFMAN),
-            dht_segment(1, 0, tables.Y_AC_HUFFMAN),
-            dht_segment(1, 1, tables.C_AC_HUFFMAN),
-            sos_segment(),
-        ]
-    )
+    segments = [
+        SOI,
+        app0_segment(),
+        dqt_segment(0, q_luma),
+        dqt_segment(1, q_chroma),
+        sof0_segment(geom),
+        dht_segment(0, 0, tables.Y_DC_HUFFMAN),
+        dht_segment(0, 1, tables.C_DC_HUFFMAN),
+        dht_segment(1, 0, tables.Y_AC_HUFFMAN),
+        dht_segment(1, 1, tables.C_AC_HUFFMAN),
+    ]
+    if restart_interval is not None:
+        segments.append(dri_segment(restart_interval))
+    segments.append(sos_segment())
+    return b"".join(segments)
 
 
 def assemble(
@@ -120,3 +133,39 @@ def assemble(
     if isinstance(entropy_payload, (bytes, bytearray)):
         entropy_payload = np.frombuffer(bytes(entropy_payload), dtype=np.uint8)
     return header_bytes(geom, quality) + stuff_bytes(entropy_payload) + EOI
+
+
+def _pad_final_byte(payload: np.ndarray, bit_length: int) -> np.ndarray:
+    """Fill the final partial byte with 1-bits (ITU-T T.81 B.1.1.5).
+
+    The unbroken-scan writer keeps the reference's zero-fill deviation for
+    byte-exactness; restart segments instead follow the spec — padding
+    before a marker is defined to be 1-bits, and strict decoders check.
+    """
+    rem = bit_length & 7
+    if rem:
+        payload = payload.copy()
+        payload[-1] |= 0xFF >> rem
+    return payload
+
+
+def assemble_restart(
+    geom: FrameGeometry,
+    interval_payloads: list[np.ndarray],
+    interval_bits: list[int],
+    restart_interval: int,
+    quality: int | None = None,
+) -> bytes:
+    """JFIF file with DRI/RSTn: one independently coded scan segment per
+    restart interval, each byte-aligned (1-padded) and 0xFF-stuffed, joined
+    by RST(n mod 8) markers (no marker after the last segment)."""
+    parts = [header_bytes(geom, quality, restart_interval=restart_interval)]
+    last = len(interval_payloads) - 1
+    for n, (payload, bits) in enumerate(zip(interval_payloads, interval_bits)):
+        num_bytes = (int(bits) + 7) // 8
+        seg = np.ascontiguousarray(payload[:num_bytes], dtype=np.uint8)
+        parts.append(stuff_bytes(_pad_final_byte(seg, int(bits))))
+        if n != last:
+            parts.append(bytes([0xFF, 0xD0 + (n & 7)]))
+    parts.append(EOI)
+    return b"".join(parts)

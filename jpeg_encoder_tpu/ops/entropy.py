@@ -248,8 +248,6 @@ def encode_scan(
     """
     assert capacity_bytes % 4 == 0
     hv = geom.h_factor * geom.v_factor
-    m = geom.num_mcus
-    bpm = geom.blocks_per_mcu
 
     if packer in ("fused", "fused_interpret"):
         # Everything below (symbolization, DC differences, LUTs, packing)
@@ -271,7 +269,29 @@ def encode_scan(
     z, entry_diff = marshal_scan_inputs(
         y_coeffs, cb_coeffs, cr_coeffs, geom, init_dc, coeffs_zigzagged
     )
-    z = z.astype(jnp.int32)
+    return encode_entries_xla(
+        z.astype(jnp.int32), entry_diff, hv, capacity_bytes, packer,
+        live_entries,
+    )
+
+
+def encode_entries_xla(
+    z: jnp.ndarray,
+    entry_diff: jnp.ndarray,
+    hv: int,
+    capacity_bytes: int,
+    packer: str = "xla",
+    live_entries: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Marshaled scan entries -> packed bytes (the XLA symbolization body).
+
+    Factored out of encode_scan so interval-shaped callers (the restart-
+    marker encoder, which vmaps over independent restart intervals) can
+    symbolize any MCU-aligned entry slice: `z` is (E, 64) zigzag entries
+    with raw DC at slot 0, `entry_diff` the (E,) DC differences, and the
+    luma/chroma pattern repeats every hv+2 entries.
+    """
+    m = z.shape[0] // (hv + 2)
 
     is_luma = jnp.asarray(
         np.tile(np.array([True] * hv + [False, False]), m)
@@ -375,6 +395,99 @@ def encode_scan(
         slot_bits, slot_lens, capacity_bytes,
         interpret=(packer == "pallas_interpret"),
     )
+
+
+def interval_dc_diffs(z: jnp.ndarray, hv: int) -> jnp.ndarray:
+    """Raw slot-0 DCs of one restart interval -> running DC differences.
+
+    Per-component predictor chains seeded at 0, exactly the reset the DRI
+    spec mandates at every restart marker (and what marshal_scan_inputs
+    does for a whole scan with init_dc=0). `z` is (E, 64) entries in
+    MCU-interleaved order; the component of entry e is determined by
+    e mod (hv+2): the first hv slots are luma, then Cb, then Cr.
+    """
+    zi = z.reshape(-1, hv + 2, 64)
+    zero = jnp.zeros((), jnp.int32)
+    dy = _seq_diff(zi[:, :hv, 0].astype(jnp.int32).reshape(-1), zero)
+    dcb = _seq_diff(zi[:, hv, 0].astype(jnp.int32), zero)
+    dcr = _seq_diff(zi[:, hv + 1, 0].astype(jnp.int32), zero)
+    return jnp.concatenate(
+        [dy.reshape(-1, hv), dcb[:, None], dcr[:, None]], axis=1
+    ).reshape(-1)
+
+
+def encode_scan_restart(
+    y_coeffs: jnp.ndarray,
+    cb_coeffs: jnp.ndarray,
+    cr_coeffs: jnp.ndarray,
+    geom: FrameGeometry,
+    capacity_bytes: int,
+    restart_mcus: int,
+    coeffs_zigzagged: bool = False,
+    packer: str = "xla",
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Quantized coefficients -> one packed stream PER RESTART INTERVAL.
+
+    Each run of `restart_mcus` MCUs encodes as an independent scan segment
+    (DC predictors reset to zero — the semantics DRI/RSTn markers define);
+    the host then byte-aligns each segment and joins them with RST(n mod 8)
+    markers (io/jfif.assemble_restart). `capacity_bytes` is PER INTERVAL.
+
+    Device shape: the marshaled (E, 64) entry stream reshapes to
+    (n_intervals, restart_mcus * bpm, 64) — interval boundaries are MCU
+    boundaries, so the per-entry component pattern stays aligned — and the
+    scan encoder vmaps over the interval axis: every interval packs
+    concurrently, each an instance of the same fused kernel the unbroken
+    scan uses (the batch path already proves the kernel under vmap). A
+    short trailing interval rides the live-entry masking the uneven-band
+    tiled path uses. Restart markers are absent from the reference
+    (file.rs:77-90); this is the TPU-native extension that makes the
+    emitted files parallel-decodable (and band-splicing trivial).
+
+    Returns (payload bytes (n_intervals, capacity_bytes), bits
+    (n_intervals,)). Overflow handling is per the unbroken scan: if any
+    interval's bits exceed 8*capacity_bytes the caller re-encodes with a
+    larger capacity.
+    """
+    assert capacity_bytes % 4 == 0
+    hv = geom.h_factor * geom.v_factor
+    bpm = geom.blocks_per_mcu
+    m = geom.num_mcus
+    n_int = -(-m // restart_mcus)
+    epi = restart_mcus * bpm
+    num_entries = m * bpm
+
+    z, _ = marshal_scan_inputs(
+        y_coeffs, cb_coeffs, cr_coeffs, geom, None, coeffs_zigzagged,
+        want_diff=False,
+    )
+    pad = n_int * epi - num_entries
+    if pad:
+        z = jnp.concatenate([z, jnp.zeros((pad, 64), z.dtype)])
+    zi = z.reshape(n_int, epi, 64)
+    live = jnp.minimum(
+        epi, num_entries - jnp.arange(n_int, dtype=jnp.int32) * epi
+    )
+
+    if packer in ("fused", "fused_interpret"):
+        from jpeg_encoder_tpu.kernels import entropy_pallas
+
+        def one(zz, lv):
+            words, bits = entropy_pallas.encode_entropy_fused(
+                zz, geom, capacity_bytes,
+                interpret=(packer == "fused_interpret"), live_entries=lv,
+            )
+            return _words_to_bytes(words), bits
+
+        return jax.vmap(one)(zi, live)
+
+    def one(zz, lv):
+        zz = zz.astype(jnp.int32)
+        return encode_entries_xla(
+            zz, interval_dc_diffs(zz, hv), hv, capacity_bytes, packer, lv
+        )
+
+    return jax.vmap(one)(zi, live)
 
 
 def coefficient_ranges(

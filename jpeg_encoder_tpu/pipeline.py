@@ -69,6 +69,33 @@ def next_capacity_bytes(geom: FrameGeometry, capacity_bytes: int) -> int:
     return min(capacity_bytes * 8, worst_case_capacity_bytes(geom))
 
 
+def restart_worst_case_capacity_bytes(
+    geom: FrameGeometry, restart_mcus: int
+) -> int:
+    """Worst case for ONE restart interval (its entries only)."""
+    entries = min(restart_mcus, geom.num_mcus) * geom.blocks_per_mcu
+    bits = entries * WORST_CASE_BITS_PER_ENTRY
+    return (bits // 8 + 4) // 4 * 4
+
+
+def restart_default_capacity_bytes(
+    geom: FrameGeometry, restart_mcus: int, bytes_per_pixel: float = 0.5
+) -> int:
+    """Initial per-interval buffer: the whole-image estimate split evenly.
+
+    Same power-of-two bucketing / retry-ladder contract as
+    default_capacity_bytes, floored at 4 KiB so tiny intervals don't
+    thrash the ladder on content spikes.
+    """
+    worst = restart_worst_case_capacity_bytes(geom, restart_mcus)
+    n_int = -(-geom.num_mcus // restart_mcus)
+    est = max(
+        int(geom.width * geom.height * bytes_per_pixel) // n_int, 4096
+    )
+    cap = 1 << (est - 1).bit_length()
+    return min(cap, worst)
+
+
 def default_packer(capacity_bytes: int) -> str:
     """Pick the entropy/packing implementation for the current backend.
 
@@ -272,6 +299,83 @@ def compiled_encoder(
     return jitted
 
 
+def encode_core_restart(
+    rgb: jnp.ndarray,
+    geom: FrameGeometry,
+    algorithm: DctAlgorithm,
+    capacity_bytes: int,
+    restart_mcus: int,
+    fast_dct: bool = False,
+    validate: bool = False,
+    bin_dct_descale: bool = False,
+    quality: int | None = None,
+    transposed_dct: bool | None = None,
+) -> dict[str, jnp.ndarray]:
+    """encode_core for the restart-marker mode: one stream per interval.
+
+    Identical front half (color, subsample, fused DCT); the scan stage
+    encodes each run of `restart_mcus` MCUs as an independent segment with
+    reset DC predictors (ops/entropy.encode_scan_restart), vmapped so all
+    intervals pack concurrently. `capacity_bytes` is per interval. Restart
+    markers don't exist in the reference (file.rs:77-90) — this is the
+    opt-in extension producing parallel-decodable, spec-valid files.
+    """
+    y, cb, cr = color.rgb_to_ycbcr(rgb)
+    y = sample.pad_plane(y, geom)
+    cb = sample.subsample_plane(sample.pad_plane(cb, geom), geom)
+    cr = sample.subsample_plane(sample.pad_plane(cr, geom), geom)
+    y_z, cb_z, cr_z, _ = dct_planes_zigzag(
+        y, cb, cr, algorithm, fast_dct, bin_dct_descale, quality,
+        transposed_dct,
+    )
+    payloads, bits = entropy.encode_scan_restart(
+        y_z, cb_z, cr_z, geom, capacity_bytes, restart_mcus,
+        coeffs_zigzagged=True, packer=default_packer(capacity_bytes),
+    )
+    result = {"payloads": payloads, "bits": bits}
+    if validate:
+        result["max_dc_diff"], result["max_ac"] = entropy.coefficient_ranges(
+            y_z, cb_z, cr_z, geom
+        )
+    return result
+
+
+@functools.lru_cache(maxsize=64)
+def compiled_restart_encoder(
+    geom: FrameGeometry,
+    algorithm: DctAlgorithm,
+    capacity_bytes: int,
+    restart_mcus: int,
+    fast_dct: bool = False,
+    validate: bool = False,
+    bin_dct_descale: bool = False,
+    quality: int | None = None,
+    transposed_dct: bool | None = None,
+):
+    """Jitted encode_core_restart (AOT-cached like compiled_encoder)."""
+
+    def fn(rgb: jnp.ndarray) -> dict[str, jnp.ndarray]:
+        return encode_core_restart(
+            rgb, geom, algorithm, capacity_bytes, restart_mcus, fast_dct,
+            validate, bin_dct_descale, quality, transposed_dct,
+        )
+
+    jitted = jax.jit(fn)
+    if aot_cache.enabled():
+        spec = jax.ShapeDtypeStruct(
+            (geom.height, geom.width, 3), jnp.uint8
+        )
+        key = (
+            "encode_core_restart", geom, algorithm.value, capacity_bytes,
+            restart_mcus, fast_dct, validate, bin_dct_descale, quality,
+            transposed_dct,
+        )
+        loaded = aot_cache.get_or_build(key, jitted, spec)
+        if loaded is not None:
+            return loaded
+    return jitted
+
+
 def validate_scan_ranges(max_dc_diff: int, max_ac: int) -> None:
     """Raise like the reference panics (entropy_coding.rs:153-155,188-191)."""
     if max_dc_diff.bit_length() > 11:
@@ -305,6 +409,12 @@ def encode_array(
         raise ValueError("expected (H, W, 3) RGB input")
     height, width = rgb.shape[:2]
     geom = config.geometry(width, height)
+    if config.restart_interval is not None:
+        if return_coeffs:
+            raise ValueError(
+                "return_coeffs is not supported with restart markers"
+            )
+        return _encode_array_restart(rgb, config, geom)
     capacity = _initial_capacity_bytes or default_capacity_bytes(
         geom, config.capacity_bytes_per_pixel
     )
@@ -347,6 +457,60 @@ def encode_array(
         )
         return result, coeffs
     return result
+
+
+def _encode_array_restart(
+    rgb: np.ndarray, config: EncoderConfig, geom: FrameGeometry
+) -> EncodeResult:
+    """encode_array body for restart-marker mode (per-interval streams).
+
+    The capacity ladder keys on the LARGEST interval's bit count; the
+    EncodeResult's entropy_payload is the concatenation of the byte-aligned
+    (1-padded), unstuffed interval segments WITHOUT the RSTn markers, and
+    bit_length sums the segments' true bit counts (excluding padding).
+    """
+    restart = config.restart_interval
+    capacity = restart_default_capacity_bytes(
+        geom, restart, config.capacity_bytes_per_pixel
+    )
+    device_rgb = jnp.asarray(rgb, dtype=jnp.uint8)
+    while True:
+        out = compiled_restart_encoder(
+            geom, config.dct_algorithm, capacity, restart, config.fast_dct,
+            config.validate, config.bin_dct_descale, config.quality,
+            config.transposed_dct,
+        )(device_rgb)
+        if config.validate:
+            validate_scan_ranges(
+                int(out["max_dc_diff"]), int(out["max_ac"])
+            )
+        bits = np.asarray(out["bits"])
+        if int(bits.max()) <= 8 * capacity:
+            break
+        worst = restart_worst_case_capacity_bytes(geom, restart)
+        if capacity >= worst:
+            raise AssertionError(
+                f"interval bit length {int(bits.max())} exceeds the "
+                f"worst-case capacity {capacity} B — packer invariant "
+                "violated"
+            )
+        capacity = min(capacity * 8, worst)
+    payloads = np.asarray(out["payloads"])
+    bit_list = [int(b) for b in bits]
+    segments = [
+        jfif._pad_final_byte(
+            np.ascontiguousarray(payloads[i, : (b + 7) // 8]), b
+        )
+        for i, b in enumerate(bit_list)
+    ]
+    return EncodeResult(
+        file_bytes=jfif.assemble_restart(
+            geom, payloads, bit_list, restart, quality=config.quality
+        ),
+        entropy_payload=b"".join(s.tobytes() for s in segments),
+        bit_length=int(bits.sum()),
+        geom=geom,
+    )
 
 
 def encode_file(

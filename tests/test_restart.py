@@ -1,0 +1,132 @@
+"""Restart-marker extension (DRI/RSTn): structure, semantics, decode parity.
+
+The reference has no restart machinery (file.rs:77-90 emits one unbroken
+scan); this opt-in extension (EncoderConfig.restart_interval / CLI
+--restart-interval) re-encodes each N-MCU run as an independent segment
+with reset DC predictors, 1-bit byte alignment, and RST(n mod 8) joins —
+ITU-T T.81 B.2.4.4 / E.2.4 semantics. The decisive check: PIL (an
+independent decoder) must produce PIXEL-IDENTICAL output for the restart
+file and the unbroken-scan file of the same image — the quantized
+coefficients are the same, only the stream framing differs.
+"""
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from jpeg_encoder_tpu import pipeline
+from jpeg_encoder_tpu.config import EncoderConfig, FrameGeometry
+from jpeg_encoder_tpu.ops import entropy
+
+
+def _image(h=75, w=99, seed=3):
+    rng = np.random.default_rng(seed)
+    return rng.normal(128, 40, (h, w, 3)).clip(0, 255).astype(np.uint8)
+
+
+def _markers(file_bytes: bytes) -> list[int]:
+    """RSTn indices in emission order (stuffing makes 0xFF 0xDn unambiguous)."""
+    found = []
+    data = file_bytes
+    i = data.index(b"\xff\xda")  # scan starts after SOS
+    while i < len(data) - 1:
+        if data[i] == 0xFF and 0xD0 <= data[i + 1] <= 0xD7:
+            found.append(data[i + 1] - 0xD0)
+        i += 1
+    return found
+
+
+@pytest.mark.parametrize("ratio", [(4, 2, 0), (4, 2, 2), (4, 4, 4)])
+@pytest.mark.parametrize("interval", [1, 3])
+def test_restart_decodes_identically(ratio, interval):
+    rgb = _image()
+    plain = pipeline.encode_array(
+        rgb, EncoderConfig(subsampling_ratio=ratio)
+    ).file_bytes
+    restart = pipeline.encode_array(
+        rgb, EncoderConfig(subsampling_ratio=ratio, restart_interval=interval)
+    ).file_bytes
+
+    geom = EncoderConfig(subsampling_ratio=ratio).geometry(99, 75)
+    n_int = -(-geom.num_mcus // interval)
+    # DRI segment with the interval value sits before SOS.
+    assert (b"\xff\xdd" + (4).to_bytes(2, "big")
+            + interval.to_bytes(2, "big")) in restart
+    marks = _markers(restart)
+    assert marks == [k % 8 for k in range(n_int - 1)]
+
+    img_plain = np.asarray(Image.open(io.BytesIO(plain)).convert("RGB"))
+    img_restart = np.asarray(Image.open(io.BytesIO(restart)).convert("RGB"))
+    assert np.array_equal(img_plain, img_restart)
+
+
+def test_restart_interval_beyond_image_has_no_markers():
+    rgb = _image(40, 40)
+    cfg = EncoderConfig(restart_interval=10_000)
+    out = pipeline.encode_array(rgb, cfg)
+    assert _markers(out.file_bytes) == []
+    assert b"\xff\xdd" in out.file_bytes
+    img = np.asarray(Image.open(io.BytesIO(out.file_bytes)).convert("RGB"))
+    plain = pipeline.encode_array(rgb, EncoderConfig()).file_bytes
+    assert np.array_equal(
+        img, np.asarray(Image.open(io.BytesIO(plain)).convert("RGB"))
+    )
+
+
+def test_restart_validates_interval_range():
+    with pytest.raises(ValueError):
+        EncoderConfig(restart_interval=0)
+    with pytest.raises(ValueError):
+        EncoderConfig(restart_interval=70_000)
+    with pytest.raises(ValueError):
+        pipeline.encode_array(
+            _image(16, 16), EncoderConfig(restart_interval=4),
+            return_coeffs=True,
+        )
+
+
+def test_restart_quality_and_descale_compose():
+    rgb = _image(64, 48, seed=9)
+    cfg = EncoderConfig(
+        restart_interval=2, quality=80,
+        bin_dct_descale=True,
+        dct_algorithm=pipeline.DctAlgorithm.BIN_DCT,
+    )
+    out = pipeline.encode_array(rgb, cfg)
+    img = np.asarray(Image.open(io.BytesIO(out.file_bytes)).convert("RGB"))
+    assert img.shape == (64, 48, 3)
+    # Framing only: same config without markers decodes identically.
+    plain_cfg = EncoderConfig(
+        quality=80, bin_dct_descale=True,
+        dct_algorithm=pipeline.DctAlgorithm.BIN_DCT,
+    )
+    plain = pipeline.encode_array(rgb, plain_cfg).file_bytes
+    assert np.array_equal(
+        img, np.asarray(Image.open(io.BytesIO(plain)).convert("RGB"))
+    )
+
+
+@pytest.mark.slow
+def test_restart_fused_interpret_matches_xla():
+    """Per-interval byte identity between the fused kernel and the XLA
+    symbolization (the packer matrix the unbroken scan already pins)."""
+    rgb = _image(40, 56, seed=5)
+    cfg = EncoderConfig(subsampling_ratio=(4, 2, 0))
+    geom = cfg.geometry(56, 40)
+    _, coeffs = pipeline.encode_array(rgb, cfg, return_coeffs=True)
+    y, cb, cr = (np.asarray(c) for c in coeffs)
+    cap = 16384
+    for interval in (1, 2):
+        ref_p, ref_b = entropy.encode_scan_restart(
+            y, cb, cr, geom, cap, interval, packer="xla"
+        )
+        fus_p, fus_b = entropy.encode_scan_restart(
+            y, cb, cr, geom, cap, interval, packer="fused_interpret"
+        )
+        np.testing.assert_array_equal(np.asarray(ref_b), np.asarray(fus_b))
+        ref_p, fus_p = np.asarray(ref_p), np.asarray(fus_p)
+        for i, b in enumerate(np.asarray(ref_b)):
+            n = (int(b) + 7) // 8
+            np.testing.assert_array_equal(ref_p[i, :n], fus_p[i, :n])
