@@ -32,10 +32,23 @@ def compiled_batch_encoder(
     fast_dct: bool = False,
     bin_dct_descale: bool = False,
     quality: int | None = None,
+    restart_interval: int | None = None,
 ):
-    """Jitted (B, H, W, 3) -> ((B, capacity) payloads, (B,) bit lengths)."""
+    """Jitted (B, H, W, 3) -> ((B, capacity) payloads, (B,) bit lengths).
+
+    With restart_interval set, the per-image program is the restart-mode
+    core instead and the outputs gain an interval axis:
+    (B, n_intervals, capacity) payloads and (B, n_intervals) bit lengths
+    (capacity_bytes is then PER INTERVAL).
+    """
 
     def per_image(rgb):
+        if restart_interval is not None:
+            out = pipeline.encode_core_restart(
+                rgb, geom, algorithm, capacity_bytes, restart_interval,
+                fast_dct, bin_dct_descale=bin_dct_descale, quality=quality,
+            )
+            return out["payloads"], out["bits"]
         out = pipeline.encode_core(
             rgb, geom, algorithm, capacity_bytes, fast_dct,
             bin_dct_descale=bin_dct_descale, quality=quality,
@@ -71,9 +84,15 @@ def encode_batch(
         raise ValueError("expected (B, H, W, 3) uint8 batch")
     batch, height, width = images.shape[:3]
     geom = config.geometry(width, height)
-    capacity = pipeline.default_capacity_bytes(
-        geom, config.capacity_bytes_per_pixel
-    )
+    restart = config.restart_interval
+    if restart is not None:
+        capacity = pipeline.restart_default_capacity_bytes(
+            geom, restart, config.capacity_bytes_per_pixel
+        )
+    else:
+        capacity = pipeline.default_capacity_bytes(
+            geom, config.capacity_bytes_per_pixel
+        )
 
     n_dev = mesh.devices.size
     padded_batch = -(-batch // n_dev) * n_dev
@@ -84,13 +103,29 @@ def encode_batch(
     device_images = jnp.asarray(images)
     encoder = compiled_batch_encoder(
         mesh, geom, config.dct_algorithm, capacity, config.fast_dct,
-        config.bin_dct_descale, config.quality,
+        config.bin_dct_descale, config.quality, restart,
     )
     payloads, bit_lengths = encoder(device_images)
     bit_lengths = np.asarray(bit_lengths)
     payloads = np.asarray(payloads)
 
     files = []
+    if restart is not None:
+        for i in range(batch):
+            bits_i = bit_lengths[i]
+            if int(bits_i.max()) > 8 * capacity:
+                # Per-image retry through the single-image restart path
+                # (identical program semantics at a larger capacity).
+                files.append(
+                    pipeline.encode_array(np.asarray(images[i]), config)
+                    .file_bytes
+                )
+                continue
+            files.append(jfif.assemble_restart(
+                geom, payloads[i], [int(b) for b in bits_i], restart,
+                quality=config.quality,
+            ))
+        return files
     header = jfif.header_bytes(geom, config.quality)
     for i in range(batch):
         bits = int(bit_lengths[i])

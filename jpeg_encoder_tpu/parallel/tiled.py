@@ -242,6 +242,14 @@ def encode_tiled(
     mesh: Mesh,
 ) -> pipeline.EncodeResult:
     """Encode one (H, W, 3) image sharded into MCU bands across the mesh."""
+    if config.restart_interval is not None:
+        # Band splicing assumes one unbroken scan; the restart framing
+        # would need band boundaries on interval boundaries. Refuse loudly
+        # rather than emit a file that silently ignores the option.
+        raise ValueError(
+            "restart markers are not supported with band tiling; "
+            "encode without --tile-bands"
+        )
     height, width = rgb.shape[:2]
     geom = config.geometry(width, height)
     n_dev = mesh.devices.size

@@ -108,6 +108,33 @@ def test_restart_quality_and_descale_compose():
     )
 
 
+def test_restart_batch_path_matches_single(tmp_path):
+    """encode_batch with restart produces the single-image path's files,
+    sharded over the virtual 8-device mesh."""
+    from jpeg_encoder_tpu.parallel import batch as batch_lib
+    from jpeg_encoder_tpu.parallel import mesh as mesh_lib
+
+    rng = np.random.default_rng(21)
+    images = rng.normal(128, 40, (3, 48, 64, 3)).clip(0, 255).astype(np.uint8)
+    cfg = EncoderConfig(restart_interval=2)
+    files = batch_lib.encode_batch(images, cfg, mesh_lib.data_mesh(8))
+    assert len(files) == 3
+    for i, f in enumerate(files):
+        single = pipeline.encode_array(images[i], cfg).file_bytes
+        assert f == single
+
+
+def test_restart_tiled_mode_refuses():
+    from jpeg_encoder_tpu.parallel import mesh as mesh_lib
+    from jpeg_encoder_tpu.parallel import tiled
+
+    with pytest.raises(ValueError, match="restart"):
+        tiled.encode_tiled(
+            _image(64, 64), EncoderConfig(restart_interval=2),
+            mesh_lib.data_mesh(2),
+        )
+
+
 @pytest.mark.slow
 def test_restart_fused_interpret_matches_xla():
     """Per-interval byte identity between the fused kernel and the XLA
