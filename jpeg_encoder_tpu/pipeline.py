@@ -328,9 +328,19 @@ def encode_core_restart(
         y, cb, cr, algorithm, fast_dct, bin_dct_descale, quality,
         transposed_dct,
     )
+    packer = default_packer(capacity_bytes)
+    if packer == "fused":
+        from jpeg_encoder_tpu.kernels import entropy_pallas
+
+        # The fused kernel pads every vmapped interval up to its TILE; a
+        # tiny interval (say 1 MCU = 6 entries vs TILE=1024) would compute
+        # ~170x dead entries per instance. Below half a tile the XLA
+        # symbolization (no per-interval padding) is the cheaper program.
+        if restart_mcus * geom.blocks_per_mcu < entropy_pallas.TILE // 2:
+            packer = "xla"
     payloads, bits = entropy.encode_scan_restart(
         y_z, cb_z, cr_z, geom, capacity_bytes, restart_mcus,
-        coeffs_zigzagged=True, packer=default_packer(capacity_bytes),
+        coeffs_zigzagged=True, packer=packer,
     )
     result = {"payloads": payloads, "bits": bits}
     if validate:
