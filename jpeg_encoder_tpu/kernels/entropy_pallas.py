@@ -73,7 +73,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from jpeg_encoder_tpu import tables
 
-TILE = int(__import__("os").environ.get("JPEG_TPU_ENTROPY_TILE", "2048"))
+TILE = int(__import__("os").environ.get("JPEG_TPU_ENTROPY_TILE", "4096"))
 # entries per grid step (TILE // 2 kernel rows); env knob is for dev A/B
 # sweeps (tools/bench_cell.py) — production uses the default.
 ENTRY_WORDS = 56    # worst-case words per entry (64 slots * 27 bits, +spill)
