@@ -73,7 +73,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from jpeg_encoder_tpu import tables
 
-TILE = int(__import__("os").environ.get("JPEG_TPU_ENTROPY_TILE", "4096"))
+TILE = int(__import__("os").environ.get("JPEG_TPU_ENTROPY_TILE", "2048"))
 # entries per grid step (TILE // 2 kernel rows); env knob is for dev A/B
 # sweeps (tools/bench_cell.py) — production uses the default.
 ENTRY_WORDS = 56    # worst-case words per entry (64 slots * 27 bits, +spill)
@@ -459,9 +459,9 @@ def _entropy_kernel(
     # once), so bf16 inputs and f32 accumulation are exact. One dynamic
     # (rows_loc, 128) read-modify-OR commits the window; sequential grid
     # steps make the window overlap at tile boundaries safe. Tiles denser
-    # than rows_loc rows (> ~126 bits/entry average; none on real content,
-    # where 10-40 is typical) take the sequential per-pair RMW fallback —
-    # byte-identical, just slower.
+    # than rows_loc rows (~128 bits/entry average at the TILE-scaled
+    # default rows_loc = TILE/32; real content runs 10-60) take the
+    # sequential per-pair RMW fallback — byte-identical, just slower.
     nrows = out_ref.shape[0]
     r_first = jnp.minimum(base >> 12, nrows - rows_loc)  # 4096 bits per row
     fits = ((carry[0] - 1) >> 12) - r_first <= rows_loc - 2
@@ -541,7 +541,7 @@ def encode_entropy_fused(
     live_entries: jnp.ndarray | None = None,
     dc_in_kernel: bool = True,
     dc_diff: jnp.ndarray | None = None,  # (E,) i32, dc_in_kernel=False only
-    rows_loc: int = 64,
+    rows_loc: int | None = None,
     force_fallback: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fused device entropy coding: returns (u32 words flat bytes, total_bits).
@@ -565,7 +565,18 @@ def encode_entropy_fused(
     fallback alone (byte-identity coverage).
     """
     assert capacity_bytes % 4 == 0
-    assert TILE % 256 == 0  # the two-level offset scan groups t2 by 128
+    # The two-level offset scan reshapes t2 = TILE/2 as (128, t2/128).T,
+    # so t2/128 must be a whole power of two: TILE in 256, 512, 1024, ...
+    if TILE < 256 or TILE % 256 or (TILE // 256) & (TILE // 256 - 1):
+        raise ValueError(
+            f"JPEG_TPU_ENTROPY_TILE must be 256 * a power of two, got {TILE}"
+        )
+    if rows_loc is None:
+        # Keep the matmul-assembly fast path's density threshold at
+        # ~128 bits/entry average per tile (rows_loc * 4096 bits over
+        # TILE entries) as TILE scales; none of the corpus content
+        # classes reach it (architecture 4:4:4 peaks ~59 bits/entry).
+        rows_loc = max(64, TILE // 32)
     num_entries = z.shape[0]
     num_words = capacity_bytes // 4
     # Data rows + the matmul window's slack (a tile whose pairs start on

@@ -454,7 +454,10 @@ def encode_scan_restart(
     bpm = geom.blocks_per_mcu
     m = geom.num_mcus
     n_int = -(-m // restart_mcus)
-    epi = restart_mcus * bpm
+    # Clamp the interval to the image: a huge --restart-interval (legal up
+    # to 65535) on a small image must not pad the single interval out to
+    # restart_mcus' worth of dead entries.
+    epi = min(restart_mcus, m) * bpm
     num_entries = m * bpm
 
     z, _ = marshal_scan_inputs(

@@ -115,10 +115,18 @@ def encode_batch(
             bits_i = bit_lengths[i]
             if int(bits_i.max()) > 8 * capacity:
                 # Per-image retry through the single-image restart path
-                # (identical program semantics at a larger capacity).
+                # (identical program semantics), starting past the rung
+                # that just overflowed.
                 files.append(
-                    pipeline.encode_array(np.asarray(images[i]), config)
-                    .file_bytes
+                    pipeline.encode_array(
+                        np.asarray(images[i]), config,
+                        _initial_capacity_bytes=min(
+                            capacity * 8,
+                            pipeline.restart_worst_case_capacity_bytes(
+                                geom, restart
+                            ),
+                        ),
+                    ).file_bytes
                 )
                 continue
             files.append(jfif.assemble_restart(

@@ -424,7 +424,10 @@ def encode_array(
             raise ValueError(
                 "return_coeffs is not supported with restart markers"
             )
-        return _encode_array_restart(rgb, config, geom)
+        return _encode_array_restart(
+            rgb, config, geom,
+            _initial_capacity_bytes=_initial_capacity_bytes,
+        )
     capacity = _initial_capacity_bytes or default_capacity_bytes(
         geom, config.capacity_bytes_per_pixel
     )
@@ -470,7 +473,10 @@ def encode_array(
 
 
 def _encode_array_restart(
-    rgb: np.ndarray, config: EncoderConfig, geom: FrameGeometry
+    rgb: np.ndarray,
+    config: EncoderConfig,
+    geom: FrameGeometry,
+    _initial_capacity_bytes: int | None = None,
 ) -> EncodeResult:
     """encode_array body for restart-marker mode (per-interval streams).
 
@@ -478,9 +484,11 @@ def _encode_array_restart(
     EncodeResult's entropy_payload is the concatenation of the byte-aligned
     (1-padded), unstuffed interval segments WITHOUT the RSTn markers, and
     bit_length sums the segments' true bit counts (excluding padding).
+    _initial_capacity_bytes starts the ladder past a rung the batch path
+    already saw overflow.
     """
     restart = config.restart_interval
-    capacity = restart_default_capacity_bytes(
+    capacity = _initial_capacity_bytes or restart_default_capacity_bytes(
         geom, restart, config.capacity_bytes_per_pixel
     )
     device_rgb = jnp.asarray(rgb, dtype=jnp.uint8)

@@ -93,11 +93,15 @@ def _package_fingerprint() -> str:
 def _artifact_path(key: tuple) -> str:
     import jax
 
-    dev = jax.devices()[0]
+    dev = jax.local_devices()[0]
     h = hashlib.sha256()
     h.update(_package_fingerprint().encode())
     h.update(jax.__version__.encode())
     h.update(f"{dev.platform}/{dev.device_kind}".encode())
+    # Env knobs that shape the traced program bypass the source
+    # fingerprint — hash them in so an A/B sweep can't reuse a stale
+    # executable (the compile cache gets this for free by hashing HLO).
+    h.update(os.environ.get("JPEG_TPU_ENTROPY_TILE", "").encode())
     h.update(repr(key).encode())
     return os.path.join(_dir, f"exe_{h.hexdigest()[:24]}.pkl")
 
@@ -130,15 +134,19 @@ def get_or_build(key: tuple, jitted, *example_args):
         try:
             with open(path, "rb") as f:
                 payload, in_tree, out_tree = pickle.load(f)
-            # Pin the single-device program to device 0 — the default
-            # spreads it over ALL local devices, which breaks on
-            # multi-device processes (the virtual 8-CPU test mesh).
+            # Pin the single-device program to the first LOCAL device —
+            # the default spreads it over ALL devices, which breaks on
+            # multi-device processes (the virtual 8-CPU test mesh), and
+            # jax.devices()[0] is another process's device on multi-host.
             return se.deserialize_and_load(
                 payload, in_tree, out_tree,
-                execution_devices=[jax.devices()[0]],
+                execution_devices=[jax.local_devices()[0]],
             )
         except Exception:
-            os.remove(path)  # corrupt/stale: rebuild below
+            try:
+                os.remove(path)  # corrupt/stale: rebuild below
+            except OSError:
+                pass  # another process raced on the same artifact
     compiled = jitted.lower(*example_args).compile()
     try:
         payload, in_tree, out_tree = se.serialize(compiled)

@@ -9,6 +9,7 @@ Usage: python tests/aot_worker.py CACHE_DIR OUT_FILE
 Writes the encoded JPEG bytes to OUT_FILE.
 """
 
+import os
 import sys
 
 import jax
@@ -17,7 +18,7 @@ jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from jpeg_encoder_tpu import pipeline  # noqa: E402
 from jpeg_encoder_tpu.config import EncoderConfig  # noqa: E402

@@ -31,7 +31,7 @@ def _run_worker(cache_dir, out_file):
     subprocess.run(
         [sys.executable, WORKER, str(cache_dir), str(out_file)],
         check=True, env=env, timeout=240,
-        cwd="/root/repo",
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     with open(out_file, "rb") as f:
         return f.read()

@@ -246,32 +246,37 @@ def _kernel(
     base = carry[0]
     max_off = (num_words - 2 * ep.ENTRY_WORDS - 1) * 32
     if scanform == "repeat":
-        # Two-level: (t2, 1) -> (t2//128, 128) (supported direction),
-        # intra-row prefix via 8-bit-chunk tri matmuls, tiny cross-row
-        # scan, then EXPAND back to a (t2, 128) broadcast with
-        # pltpu.repeat + one static per-row lane gather — sidestepping
-        # the (8,128)->(t2,1) shape cast Mosaic rejects (mxu form).
-        g = pair_bits.reshape(t2 // 128, 128)
-        tri_i = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
-        tri2 = (tri_i <= jax.lax.broadcasted_iota(
-            jnp.int32, (128, 128), 1)).astype(jnp.bfloat16)
-        pref = jnp.zeros_like(g)
-        for kk in range(2):
-            ck = ((g >> (8 * kk)) & 0xFF).astype(jnp.bfloat16)
-            pk = jnp.dot(ck, tri2, preferred_element_type=jnp.float32)
-            pref = pref + (pk.astype(jnp.int32) << (8 * kk))
-        rows_tot = pref[:, 127:128]
-        rr8 = jax.lax.broadcasted_iota(jnp.int32, (t2 // 128, 1), 0)
-        sc = rows_tot
+        # PRODUCTION form (kernels/entropy_pallas.py): strided compact
+        # layout pair p at [p % g128, p // g128] via reshape(128, g).T —
+        # consecutive pairs run down the SUBLANES of each column, so the
+        # scan is a short sublane scan plus a 1-vreg lane scan of column
+        # totals; expansion back is pltpu.repeat (tile semantics:
+        # rep[r] = off8[r % g128]) + a per-row static lane gather picking
+        # lane r // g128 = exactly pair r. (An earlier draft used the
+        # row-major reshape + `idxm = r & 127`, which resolves to pair
+        # (r % g)*128 + (r & 127) under tile-repeat — wrong pair.)
+        g128 = t2 // 128
+        gshift = g128.bit_length() - 1
+        mt = pair_bits.reshape(128, g128).T        # (g128, 128)
+        incl8 = mt
+        rr8 = jax.lax.broadcasted_iota(jnp.int32, (g128, 128), 0)
         k = 1
-        while k < t2 // 128:
-            sc = sc + jnp.where(rr8 >= k, pltpu.roll(sc, k, 0), 0)
+        while k < g128:
+            incl8 = incl8 + jnp.where(
+                rr8 >= k, pltpu.roll(incl8, k, 0), 0
+            )
             k *= 2
-        incl8 = pref + (sc - rows_tot)           # (t2//128, 128) inclusive
-        carry[0] = base + incl8[t2 // 128 - 1, 127]
-        off8 = jnp.minimum(base + incl8 - g, max_off)
-        rep = pltpu.repeat(off8, 128, 0)          # (t2, 128) grouped rows
-        idxm = jax.lax.broadcasted_iota(jnp.int32, (t2, 128), 0) & 127
+        col_tot = incl8[g128 - 1 : g128, :]
+        ex = ep._shift_lanes(col_tot, 1, 0)
+        k = 1
+        while k < 128:
+            ex = ex + ep._shift_lanes(ex, k, 0)
+            k *= 2
+        incl8 = incl8 + ex
+        carry[0] = base + incl8[g128 - 1, 127]
+        off8 = jnp.minimum(base + incl8 - mt, max_off)
+        rep = pltpu.repeat(off8, 128, 0)           # (t2, 128)
+        idxm = jax.lax.broadcasted_iota(jnp.int32, (t2, 128), 0) >> gshift
         off_p = jnp.take_along_axis(rep, idxm, axis=1)  # (t2,128) bcast
         incl_p = off_p                            # for stage probes only
         off_row = None                            # forces ONEHOT=col path
