@@ -160,3 +160,32 @@ def test_batch_devices_flag(tmp_path, rng):
     ) == 0
     for i in range(4):
         assert (out_dir / f"d{i}.jpeg").exists()
+
+
+def test_restart_interval_flag(tmp_path, rng):
+    from PIL import Image
+
+    rgb = rng.integers(0, 256, size=(24, 40, 3), dtype=np.uint8)
+    path = tmp_path / "img.bmp"
+    bmp.write(path, rgb)
+    plain = tmp_path / "plain.jpeg"
+    marked = tmp_path / "marked.jpeg"
+    assert cli.main(["-i", str(path), "-o", str(plain)]) == 0
+    assert cli.main(
+        ["-i", str(path), "-o", str(marked), "--restart-interval", "1"]
+    ) == 0
+    data = marked.read_bytes()
+    assert b"\xff\xdd\x00\x04\x00\x01" in data  # DRI, interval 1
+    assert b"\xff\xd0" in data  # at least one RST0
+    a = np.asarray(Image.open(plain).convert("RGB"))
+    b = np.asarray(Image.open(marked).convert("RGB"))
+    assert np.array_equal(a, b)
+
+
+def test_restart_interval_refused_with_tile_bands(tmp_path, rng):
+    rgb = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    path = tmp_path / "img.bmp"
+    bmp.write(path, rgb)
+    assert cli.main(
+        ["-i", str(path), "--tile-bands", "--restart-interval", "2"]
+    ) == 1
