@@ -425,6 +425,7 @@ def encode_scan_restart(
     restart_mcus: int,
     coeffs_zigzagged: bool = False,
     packer: str = "xla",
+    live_entries: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Quantized coefficients -> one packed stream PER RESTART INTERVAL.
 
@@ -448,6 +449,12 @@ def encode_scan_restart(
     (n_intervals,)). Overflow handling is per the unbroken scan: if any
     interval's bits exceed 8*capacity_bytes the caller re-encodes with a
     larger capacity.
+
+    live_entries (traced scalar, default: all) masks the scan suffix to
+    emit zero bits, interval-wise: interval j keeps
+    clip(live_entries - j*epi, 0, epi) live entries. The band-tiled
+    restart mode uses it for the trailing band's padding rows; fully dead
+    intervals report 0 bits and are dropped by the assembler.
     """
     assert capacity_bytes % 4 == 0
     hv = geom.h_factor * geom.v_factor
@@ -468,8 +475,12 @@ def encode_scan_restart(
     if pad:
         z = jnp.concatenate([z, jnp.zeros((pad, 64), z.dtype)])
     zi = z.reshape(n_int, epi, 64)
-    live = jnp.minimum(
-        epi, num_entries - jnp.arange(n_int, dtype=jnp.int32) * epi
+    total = (
+        jnp.int32(num_entries) if live_entries is None
+        else jnp.asarray(live_entries, jnp.int32)
+    )
+    live = jnp.clip(
+        total - jnp.arange(n_int, dtype=jnp.int32) * epi, 0, epi
     )
 
     if packer in ("fused", "fused_interpret"):

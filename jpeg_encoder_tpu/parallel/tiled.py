@@ -77,7 +77,7 @@ def _live_mcu_rows(geom: FrameGeometry, n_dev: int, idx: int) -> int:
 def _encode_band(rgb_band, band_geom, algorithm, capacity, fast_dct,
                  bin_dct_descale, init_dc, live_entries=None,
                  packer="xla", live_px_rows=None, quality=None,
-                 transposed_dct=None):
+                 transposed_dct=None, restart=None):
     """One band's full compute: planes -> coefficients -> packed bits.
 
     Shared between the shard_map program and the single-band overflow
@@ -97,6 +97,12 @@ def _encode_band(rgb_band, band_geom, algorithm, capacity, fast_dct,
     lives in the Y/Cb/Cr planes (value 0), not in RGB space, where zero
     pixels would convert to Cb = Cr = 128.
 
+    restart (static int) switches the scan stage to per-interval restart
+    framing (ops/entropy.encode_scan_restart): DC predictors reset at
+    every interval, so init_dc is ignored — no cross-band exchange exists
+    — and the returns become ((n_int, capacity) payloads, (n_int,) bits,
+    zero predictors). `capacity` is then PER INTERVAL.
+
     Returns (payload, bits, init_dc_resolved).
     """
     y, cb, cr = color.rgb_to_ycbcr(rgb_band)
@@ -113,6 +119,13 @@ def _encode_band(rgb_band, band_geom, algorithm, capacity, fast_dct,
         y, cb, cr,
         algorithm, fast_dct, bin_dct_descale, quality, transposed_dct,
     )
+    if restart is not None:
+        payloads, bits = entropy.encode_scan_restart(
+            y_q, cb_q, cr_q, band_geom, capacity, restart,
+            coeffs_zigzagged=True, packer=packer,
+            live_entries=live_entries,
+        )
+        return payloads, bits, jnp.zeros((3,), jnp.int32)
     if callable(init_dc):
         # DC sits at column 0 in zigzag order too, so final_dc reads the
         # same values it would from natural-order coefficients.
@@ -135,6 +148,7 @@ def compiled_tiled_encoder(
     quality: int | None = None,
     replicate_out: bool = False,
     transposed_dct: bool | None = None,
+    restart: int | None = None,
 ):
     """Jitted (n_dev * band_h, W, 3) -> ((n_dev, cap) payloads,
     (n_dev,) bit lengths, (n_dev, 3) per-band initial DC predictors).
@@ -142,14 +156,24 @@ def compiled_tiled_encoder(
     replicate_out=True makes XLA all-gather the outputs onto every device
     (ICI within a host, DCN across hosts) so each PROCESS of a multi-host
     mesh holds the full payload set for host-side splicing — the
-    device-side "collective bitstream assembly" of BASELINE config 5."""
+    device-side "collective bitstream assembly" of BASELINE config 5.
+
+    restart (static int, MCUs — caller guarantees it divides the band MCU
+    count) switches every band to per-interval restart framing: the
+    payload/bits outputs gain an interval axis ((n_dev, n_int, cap),
+    (n_dev, n_int)), the DC ppermute disappears (predictors reset at each
+    interval), and host assembly is marker concatenation instead of
+    bit-level splicing."""
     n_dev = mesh.devices.size
     band_rows = _band_rows(geom, n_dev)
     band_h = band_rows * 8 * geom.v_factor
     band_geom = _band_geometry(geom, band_h)
     uneven = geom.mcu_rows % n_dev != 0
     entries_per_mcu_row = geom.mcu_cols * geom.blocks_per_mcu
-    packer = pipeline.default_packer(capacity)
+    if restart is not None:
+        packer = pipeline.restart_packer(band_geom, restart, capacity)
+    else:
+        packer = pipeline.default_packer(capacity)
 
     def shard_fn(rgb_band):  # (band_h, W, 3) uint8
         idx = jax.lax.axis_index(DATA_AXIS)
@@ -176,15 +200,22 @@ def compiled_tiled_encoder(
         payload, bits, prev = _encode_band(
             rgb_band, band_geom, algorithm, capacity, fast_dct,
             bin_dct_descale, chain, live_entries, packer, live_px_rows,
-            quality, transposed_dct,
+            quality, transposed_dct, restart,
         )
         return payload[None], bits[None], prev[None]
 
+    payload_spec = (
+        P(DATA_AXIS, None, None) if restart is not None
+        else P(DATA_AXIS, None)
+    )
+    bits_spec = (
+        P(DATA_AXIS, None) if restart is not None else P(DATA_AXIS)
+    )
     sharded = shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=P(DATA_AXIS, None, None),
-        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS, None)),
+        out_specs=(payload_spec, bits_spec, P(DATA_AXIS, None)),
         # Pallas outputs don't carry vma metadata; every kernel here is
         # shard-local, so the varying-mesh-axes check adds nothing.
         check_vma=False,
@@ -241,15 +272,17 @@ def encode_tiled(
     config: EncoderConfig,
     mesh: Mesh,
 ) -> pipeline.EncodeResult:
-    """Encode one (H, W, 3) image sharded into MCU bands across the mesh."""
-    if config.restart_interval is not None:
-        # Band splicing assumes one unbroken scan; the restart framing
-        # would need band boundaries on interval boundaries. Refuse loudly
-        # rather than emit a file that silently ignores the option.
-        raise ValueError(
-            "restart markers are not supported with band tiling; "
-            "encode without --tile-bands"
-        )
+    """Encode one (H, W, 3) image sharded into MCU bands across the mesh.
+
+    With config.restart_interval set, the bands emit DRI/RSTn restart
+    framing instead of one unbroken scan — the JPEG-native parallel
+    encode: every interval's DC predictors reset, so the ppermute DC
+    exchange disappears, and assembly is byte-aligned marker
+    concatenation (io/jfif.assemble_restart) instead of bit-level
+    splicing. Requires the interval to divide the band MCU count (so no
+    interval straddles a device boundary); other combinations fall back
+    to the single-device restart encode with a warning.
+    """
     height, width = rgb.shape[:2]
     geom = config.geometry(width, height)
     n_dev = mesh.devices.size
@@ -268,15 +301,33 @@ def encode_tiled(
         return pipeline.encode_array(rgb, config)
 
     band_rows = _band_rows(geom, n_dev)
+    restart = config.restart_interval
+    if restart is not None and n_dev > 1 and (
+        (band_rows * geom.mcu_cols) % restart != 0
+    ):
+        warnings.warn(
+            f"restart interval {restart} does not divide the "
+            f"{band_rows * geom.mcu_cols}-MCU band of a {n_dev}-device "
+            "mesh (an interval would straddle a device boundary); "
+            "falling back to a single-device restart encode",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return pipeline.encode_array(rgb, config)
     band_h = band_rows * 8 * geom.v_factor
     total_h = band_h * n_dev  # >= geom.padded_height; extra rows stay zero
     padded = np.zeros((total_h, width, 3), np.uint8)
     padded[:height] = rgb
 
     band_geom = _band_geometry(geom, band_h)
-    capacity = pipeline.default_capacity_bytes(
-        band_geom, config.capacity_bytes_per_pixel
-    )
+    if restart is not None:
+        capacity = pipeline.restart_default_capacity_bytes(
+            band_geom, restart, config.capacity_bytes_per_pixel
+        )
+    else:
+        capacity = pipeline.default_capacity_bytes(
+            band_geom, config.capacity_bytes_per_pixel
+        )
     # A mesh spanning several processes (multi-host: one huge image across
     # hosts) needs the global input assembled from per-process shards and
     # the outputs replicated back to every process; in-process meshes keep
@@ -294,12 +345,17 @@ def encode_tiled(
     encoder = compiled_tiled_encoder(
         mesh, geom, config.dct_algorithm, capacity, config.fast_dct,
         config.bin_dct_descale, config.quality, replicate_out=multi,
-        transposed_dct=config.transposed_dct,
+        transposed_dct=config.transposed_dct, restart=restart,
     )
     payloads, bit_lengths, init_dcs = encoder(device_rgb)
     bit_lengths = np.asarray(bit_lengths)
     payloads = np.asarray(payloads)
     init_dcs = np.asarray(init_dcs)
+
+    if restart is not None:
+        return _assemble_tiled_restart(
+            padded, geom, config, n_dev, capacity, payloads, bit_lengths
+        )
 
     chunks = []
     for i in range(n_dev):
@@ -321,6 +377,128 @@ def encode_tiled(
         bit_length=total_bits,
         geom=geom,
     )
+
+
+def _assemble_tiled_restart(
+    padded: np.ndarray,
+    geom: FrameGeometry,
+    config: EncoderConfig,
+    n_dev: int,
+    capacity: int,
+    payloads: np.ndarray,      # (n_dev, n_int, capacity)
+    bit_lengths: np.ndarray,   # (n_dev, n_int)
+) -> pipeline.EncodeResult:
+    """Band-tiled restart assembly: interval concatenation, no splicing.
+
+    Walks bands in order, keeps each band's LIVE intervals (the trailing
+    band's fully-dead padding intervals report 0 bits and are dropped by
+    construction), retries an overflowed band through the single-band
+    restart program, and hands the flat interval sequence to
+    jfif.assemble_restart (which numbers RSTn mod 8 across the whole
+    image). EncodeResult fields follow _encode_array_restart's contract.
+    """
+    restart = config.restart_interval
+    segments: list[np.ndarray] = []
+    bits_list: list[int] = []
+    for i in range(n_dev):
+        live_mcus = _live_mcu_rows(geom, n_dev, i) * geom.mcu_cols
+        n_live = -(-live_mcus // restart)
+        if n_live == 0:
+            continue
+        if int(bit_lengths[i, :n_live].max()) > 8 * capacity:
+            band_segments = _retry_band_restart(
+                padded, geom, config, n_dev, i, capacity
+            )
+        else:
+            band_segments = [
+                (payloads[i, j], int(bit_lengths[i, j]))
+                for j in range(n_live)
+            ]
+        for payload, bits in band_segments:
+            segments.append(payload)
+            bits_list.append(bits)
+    padded_segs = [
+        jfif._pad_final_byte(
+            np.ascontiguousarray(p[: (b + 7) // 8]), b
+        )
+        for p, b in zip(segments, bits_list)
+    ]
+    return pipeline.EncodeResult(
+        file_bytes=jfif.assemble_restart(
+            geom, segments, bits_list, restart, quality=config.quality
+        ),
+        entropy_payload=b"".join(s.tobytes() for s in padded_segs),
+        bit_length=int(sum(bits_list)),
+        geom=geom,
+    )
+
+
+def _retry_band_restart(
+    padded: np.ndarray,
+    geom: FrameGeometry,
+    config: EncoderConfig,
+    n_dev: int,
+    idx: int,
+    capacity: int,
+) -> list[tuple[np.ndarray, int]]:
+    """Re-encode band `idx`'s restart intervals at larger capacities."""
+    restart = config.restart_interval
+    band_rows = _band_rows(geom, n_dev)
+    band_h = band_rows * 8 * geom.v_factor
+    live_rows = _live_mcu_rows(geom, n_dev, idx)
+    live_geom = _band_geometry(geom, live_rows * 8 * geom.v_factor)
+    band_rgb = jnp.asarray(
+        padded[idx * band_h : idx * band_h + live_geom.padded_height]
+    )
+    live_px = jnp.int32(
+        max(0, min(geom.height - idx * band_h, live_geom.padded_height))
+    )
+    n_live = -(-live_geom.num_mcus // restart)
+    while True:
+        worst = pipeline.restart_worst_case_capacity_bytes(
+            live_geom, restart
+        )
+        if capacity >= worst:
+            raise AssertionError(
+                "interval bit length exceeds the worst-case capacity — "
+                "entropy packer invariant violated"
+            )
+        capacity = min(capacity * 8, worst)
+        payloads, bits = compiled_band_restart_encoder(
+            live_geom, config.dct_algorithm, capacity, restart,
+            config.fast_dct, config.bin_dct_descale, config.quality,
+            config.transposed_dct,
+        )(band_rgb, live_px)
+        bits = np.asarray(bits)
+        if int(bits[:n_live].max()) <= 8 * capacity:
+            payloads = np.asarray(payloads)
+            return [(payloads[j], int(bits[j])) for j in range(n_live)]
+
+
+@functools.lru_cache(maxsize=32)
+def compiled_band_restart_encoder(
+    band_geom: FrameGeometry,
+    algorithm: DctAlgorithm,
+    capacity: int,
+    restart: int,
+    fast_dct: bool = False,
+    bin_dct_descale: bool = False,
+    quality: int | None = None,
+    transposed_dct: bool | None = None,
+):
+    """Jitted single-band restart re-encode for overflow retry."""
+
+    def fn(rgb_band, live_px_rows):
+        payloads, bits, _ = _encode_band(
+            rgb_band, band_geom, algorithm, capacity, fast_dct,
+            bin_dct_descale, None,
+            packer=pipeline.restart_packer(band_geom, restart, capacity),
+            live_px_rows=live_px_rows, quality=quality,
+            transposed_dct=transposed_dct, restart=restart,
+        )
+        return payloads, bits
+
+    return jax.jit(fn)
 
 
 def _retry_band(

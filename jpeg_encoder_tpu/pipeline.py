@@ -114,6 +114,25 @@ def default_packer(capacity_bytes: int) -> str:
     return "xla"
 
 
+def restart_packer(
+    geom: FrameGeometry, restart_mcus: int, capacity_bytes: int
+) -> str:
+    """Packer choice for per-interval restart encodes.
+
+    The fused kernel pads every vmapped interval up to its TILE; a tiny
+    interval (say 1 MCU = 6 entries vs TILE=2048) would compute ~300x
+    dead entries per instance. Below half a tile the XLA symbolization
+    (no per-interval padding) is the cheaper program.
+    """
+    packer = default_packer(capacity_bytes)
+    if packer == "fused":
+        from jpeg_encoder_tpu.kernels import entropy_pallas
+
+        if restart_mcus * geom.blocks_per_mcu < entropy_pallas.TILE // 2:
+            packer = "xla"
+    return packer
+
+
 def dct_planes_zigzag(
     y_plane: jnp.ndarray,
     cb_plane: jnp.ndarray,
@@ -328,19 +347,10 @@ def encode_core_restart(
         y, cb, cr, algorithm, fast_dct, bin_dct_descale, quality,
         transposed_dct,
     )
-    packer = default_packer(capacity_bytes)
-    if packer == "fused":
-        from jpeg_encoder_tpu.kernels import entropy_pallas
-
-        # The fused kernel pads every vmapped interval up to its TILE; a
-        # tiny interval (say 1 MCU = 6 entries vs TILE=1024) would compute
-        # ~170x dead entries per instance. Below half a tile the XLA
-        # symbolization (no per-interval padding) is the cheaper program.
-        if restart_mcus * geom.blocks_per_mcu < entropy_pallas.TILE // 2:
-            packer = "xla"
     payloads, bits = entropy.encode_scan_restart(
         y_z, cb_z, cr_z, geom, capacity_bytes, restart_mcus,
-        coeffs_zigzagged=True, packer=packer,
+        coeffs_zigzagged=True,
+        packer=restart_packer(geom, restart_mcus, capacity_bytes),
     )
     result = {"payloads": payloads, "bits": bits}
     if validate:

@@ -182,10 +182,18 @@ def test_restart_interval_flag(tmp_path, rng):
     assert np.array_equal(a, b)
 
 
-def test_restart_interval_refused_with_tile_bands(tmp_path, rng):
+def test_restart_interval_with_tile_bands(tmp_path, rng):
+    """Band-tiled restart framing equals the single-device restart file."""
     rgb = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
     path = tmp_path / "img.bmp"
     bmp.write(path, rgb)
+    single = tmp_path / "single.jpeg"
+    tiled = tmp_path / "tiled.jpeg"
     assert cli.main(
-        ["-i", str(path), "--tile-bands", "--restart-interval", "2"]
-    ) == 1
+        ["-i", str(path), "-o", str(single), "--restart-interval", "2"]
+    ) == 0
+    assert cli.main(
+        ["-i", str(path), "-o", str(tiled), "--tile-bands",
+         "--restart-interval", "2"]
+    ) == 0
+    assert tiled.read_bytes() == single.read_bytes()

@@ -124,15 +124,44 @@ def test_restart_batch_path_matches_single(tmp_path):
         assert f == single
 
 
-def test_restart_tiled_mode_refuses():
+def test_restart_tiled_byte_identical_to_single_device():
+    """Tiled restart framing = the single-device restart file, byte for
+    byte: with intervals aligned to band boundaries the interval
+    partition is identical, DC predictors reset at each one (no
+    cross-band state), and assembly is the same concatenation."""
     from jpeg_encoder_tpu.parallel import mesh as mesh_lib
     from jpeg_encoder_tpu.parallel import tiled
 
-    with pytest.raises(ValueError, match="restart"):
-        tiled.encode_tiled(
-            _image(64, 64), EncoderConfig(restart_interval=2),
-            mesh_lib.data_mesh(2),
-        )
+    rgb = _image(96, 64, seed=13)  # 4:2:0: 6 MCU rows x 4 cols
+    for n_dev, interval in ((2, 4), (3, 2), (4, 1)):
+        cfg = EncoderConfig(restart_interval=interval)
+        single = pipeline.encode_array(rgb, cfg)
+        tiled_r = tiled.encode_tiled(rgb, cfg, mesh_lib.data_mesh(n_dev))
+        assert tiled_r.file_bytes == single.file_bytes, (n_dev, interval)
+        assert tiled_r.bit_length == single.bit_length
+
+
+def test_restart_tiled_uneven_bands():
+    """8 devices over 6 MCU rows: trailing dead bands' intervals drop."""
+    from jpeg_encoder_tpu.parallel import mesh as mesh_lib
+    from jpeg_encoder_tpu.parallel import tiled
+
+    rgb = _image(96, 64, seed=14)
+    cfg = EncoderConfig(restart_interval=4)
+    single = pipeline.encode_array(rgb, cfg)
+    tiled_r = tiled.encode_tiled(rgb, cfg, mesh_lib.data_mesh(8))
+    assert tiled_r.file_bytes == single.file_bytes
+
+
+def test_restart_tiled_misaligned_falls_back():
+    from jpeg_encoder_tpu.parallel import mesh as mesh_lib
+    from jpeg_encoder_tpu.parallel import tiled
+
+    rgb = _image(96, 64, seed=15)
+    cfg = EncoderConfig(restart_interval=5)  # 5 does not divide 3x4 MCUs
+    with pytest.warns(RuntimeWarning, match="straddle"):
+        out = tiled.encode_tiled(rgb, cfg, mesh_lib.data_mesh(2))
+    assert out.file_bytes == pipeline.encode_array(rgb, cfg).file_bytes
 
 
 @pytest.mark.slow
