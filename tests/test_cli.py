@@ -197,3 +197,22 @@ def test_restart_interval_with_tile_bands(tmp_path, rng):
          "--restart-interval", "2"]
     ) == 0
     assert tiled.read_bytes() == single.read_bytes()
+
+
+def test_dataset_mode_with_restart_interval(tmp_path, rng):
+    """--dataset composes with --restart-interval (rides encode_batch)."""
+    from jpeg_encoder_tpu import pipeline
+    from jpeg_encoder_tpu.config import EncoderConfig
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rgb = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    bmp.write(src / "img.bmp", rgb)
+    out = tmp_path / "out"
+    assert cli.main(
+        ["--dataset", str(src), "-o", str(out), "--restart-interval", "1"]
+    ) == 0
+    got = (out / "img.jpeg").read_bytes()
+    cfg = EncoderConfig(restart_interval=1)
+    assert got == pipeline.encode_array(rgb, cfg).file_bytes
+    assert b"\xff\xdd" in got
