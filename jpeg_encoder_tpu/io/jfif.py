@@ -135,7 +135,7 @@ def assemble(
     return header_bytes(geom, quality) + stuff_bytes(entropy_payload) + EOI
 
 
-def _pad_final_byte(payload: np.ndarray, bit_length: int) -> np.ndarray:
+def pad_final_byte(payload: np.ndarray, bit_length: int) -> np.ndarray:
     """Fill the final partial byte with 1-bits (ITU-T T.81 B.1.1.5).
 
     The unbroken-scan writer keeps the reference's zero-fill deviation for
@@ -164,7 +164,7 @@ def assemble_restart(
     for n, (payload, bits) in enumerate(zip(interval_payloads, interval_bits)):
         num_bytes = (int(bits) + 7) // 8
         seg = np.ascontiguousarray(payload[:num_bytes], dtype=np.uint8)
-        parts.append(stuff_bytes(_pad_final_byte(seg, int(bits))))
+        parts.append(stuff_bytes(pad_final_byte(seg, int(bits))))
         if n != last:
             parts.append(bytes([0xFF, 0xD0 + (n & 7)]))
     parts.append(EOI)

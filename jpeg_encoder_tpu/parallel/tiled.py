@@ -302,7 +302,8 @@ def encode_tiled(
 
     band_rows = _band_rows(geom, n_dev)
     restart = config.restart_interval
-    if restart is not None and n_dev > 1 and (
+    live_bands = -(-geom.mcu_rows // band_rows)
+    if restart is not None and live_bands > 1 and (
         (band_rows * geom.mcu_cols) % restart != 0
     ):
         warnings.warn(
@@ -417,19 +418,8 @@ def _assemble_tiled_restart(
         for payload, bits in band_segments:
             segments.append(payload)
             bits_list.append(bits)
-    padded_segs = [
-        jfif._pad_final_byte(
-            np.ascontiguousarray(p[: (b + 7) // 8]), b
-        )
-        for p, b in zip(segments, bits_list)
-    ]
-    return pipeline.EncodeResult(
-        file_bytes=jfif.assemble_restart(
-            geom, segments, bits_list, restart, quality=config.quality
-        ),
-        entropy_payload=b"".join(s.tobytes() for s in padded_segs),
-        bit_length=int(sum(bits_list)),
-        geom=geom,
+    return pipeline.restart_result(
+        geom, segments, bits_list, restart, config.quality
     )
 
 
@@ -455,15 +445,16 @@ def _retry_band_restart(
     )
     n_live = -(-live_geom.num_mcus // restart)
     while True:
-        worst = pipeline.restart_worst_case_capacity_bytes(
+        if capacity >= pipeline.restart_worst_case_capacity_bytes(
             live_geom, restart
-        )
-        if capacity >= worst:
+        ):
             raise AssertionError(
                 "interval bit length exceeds the worst-case capacity — "
                 "entropy packer invariant violated"
             )
-        capacity = min(capacity * 8, worst)
+        capacity = pipeline.restart_next_capacity_bytes(
+            live_geom, restart, capacity
+        )
         payloads, bits = compiled_band_restart_encoder(
             live_geom, config.dct_algorithm, capacity, restart,
             config.fast_dct, config.bin_dct_descale, config.quality,

@@ -114,6 +114,16 @@ def default_packer(capacity_bytes: int) -> str:
     return "xla"
 
 
+def restart_next_capacity_bytes(
+    geom: FrameGeometry, restart_mcus: int, capacity_bytes: int
+) -> int:
+    """The restart-mode retry ladder (per-interval buffers): 8x, capped."""
+    return min(
+        capacity_bytes * 8,
+        restart_worst_case_capacity_bytes(geom, restart_mcus),
+    )
+
+
 def restart_packer(
     geom: FrameGeometry, restart_mcus: int, capacity_bytes: int
 ) -> str:
@@ -482,6 +492,37 @@ def encode_array(
     return result
 
 
+def restart_result(
+    geom: FrameGeometry,
+    segments: list[np.ndarray],
+    bits_list: list[int],
+    restart_mcus: int,
+    quality: int | None,
+) -> EncodeResult:
+    """EncodeResult for a restart-framed encode, from per-interval streams.
+
+    Single place defining the restart-mode result contract (shared by the
+    single-device and band-tiled paths): file_bytes via
+    jfif.assemble_restart; entropy_payload = the byte-aligned (1-padded),
+    unstuffed interval segments concatenated WITHOUT the RSTn markers;
+    bit_length = the sum of the segments' true bit counts (no padding).
+    """
+    padded_segs = [
+        jfif.pad_final_byte(
+            np.ascontiguousarray(p[: (b + 7) // 8], dtype=np.uint8), b
+        )
+        for p, b in zip(segments, bits_list)
+    ]
+    return EncodeResult(
+        file_bytes=jfif.assemble_restart(
+            geom, segments, bits_list, restart_mcus, quality=quality
+        ),
+        entropy_payload=b"".join(s.tobytes() for s in padded_segs),
+        bit_length=int(sum(bits_list)),
+        geom=geom,
+    )
+
+
 def _encode_array_restart(
     rgb: np.ndarray,
     config: EncoderConfig,
@@ -515,29 +556,17 @@ def _encode_array_restart(
         bits = np.asarray(out["bits"])
         if int(bits.max()) <= 8 * capacity:
             break
-        worst = restart_worst_case_capacity_bytes(geom, restart)
-        if capacity >= worst:
+        if capacity >= restart_worst_case_capacity_bytes(geom, restart):
             raise AssertionError(
                 f"interval bit length {int(bits.max())} exceeds the "
                 f"worst-case capacity {capacity} B — packer invariant "
                 "violated"
             )
-        capacity = min(capacity * 8, worst)
+        capacity = restart_next_capacity_bytes(geom, restart, capacity)
     payloads = np.asarray(out["payloads"])
-    bit_list = [int(b) for b in bits]
-    segments = [
-        jfif._pad_final_byte(
-            np.ascontiguousarray(payloads[i, : (b + 7) // 8]), b
-        )
-        for i, b in enumerate(bit_list)
-    ]
-    return EncodeResult(
-        file_bytes=jfif.assemble_restart(
-            geom, payloads, bit_list, restart, quality=config.quality
-        ),
-        entropy_payload=b"".join(s.tobytes() for s in segments),
-        bit_length=int(bits.sum()),
-        geom=geom,
+    return restart_result(
+        geom, list(payloads), [int(b) for b in bits], restart,
+        config.quality,
     )
 
 
