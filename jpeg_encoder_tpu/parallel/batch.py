@@ -107,7 +107,11 @@ def encode_batch(
     )
     payloads, bit_lengths = encoder(device_images)
     bit_lengths = np.asarray(bit_lengths)
-    payloads = np.asarray(payloads)
+    # Device-side prefix slice before fetching: the capacity rectangle is
+    # ~5x the real payloads, and device->host transfer is the dominant
+    # host-path cost on remote-attached chips (pipeline.encode_array).
+    max_bytes = min(capacity, (int(bit_lengths.max()) + 7) // 8)
+    payloads = np.asarray(payloads[..., :max_bytes])
 
     files = []
     if restart is not None:

@@ -350,7 +350,11 @@ def encode_tiled(
     )
     payloads, bit_lengths, init_dcs = encoder(device_rgb)
     bit_lengths = np.asarray(bit_lengths)
-    payloads = np.asarray(payloads)
+    # Device-side prefix slice before the fetch: the capacity rectangle
+    # is ~5x the real payloads and the device->host transfer dominates
+    # the host path on remote-attached chips (see pipeline.encode_array).
+    max_bytes = min(capacity, (int(bit_lengths.max()) + 7) // 8)
+    payloads = np.asarray(payloads[..., :max_bytes])
     init_dcs = np.asarray(init_dcs)
 
     if restart is not None:
@@ -462,7 +466,8 @@ def _retry_band_restart(
         )(band_rgb, live_px)
         bits = np.asarray(bits)
         if int(bits[:n_live].max()) <= 8 * capacity:
-            payloads = np.asarray(payloads)
+            max_bytes = (int(bits[:n_live].max()) + 7) // 8
+            payloads = np.asarray(payloads[:, :max_bytes])
             return [(payloads[j], int(bits[j])) for j in range(n_live)]
 
 
@@ -526,4 +531,4 @@ def _retry_band(
         )(band_rgb, init, live_px)
         bits = int(bits)
         if bits <= 8 * capacity:
-            return np.asarray(payload), bits
+            return np.asarray(payload[: (bits + 7) // 8]), bits

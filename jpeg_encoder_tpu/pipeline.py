@@ -477,7 +477,11 @@ def encode_array(
             )
         capacity = next_capacity_bytes(geom, capacity)
     num_bytes = (bit_length + 7) // 8
-    payload = np.asarray(out["payload"])[:num_bytes].tobytes()
+    # Slice ON DEVICE before fetching: the capacity buffer is ~5x the
+    # payload, and device->host transfer is the dominant single-image
+    # cost on remote-attached TPUs (4K: 155 -> 87 ms/img through the
+    # tunnel; a PCIe-local chip moves 5x fewer bytes all the same).
+    payload = np.asarray(out["payload"][:num_bytes]).tobytes()
     result = EncodeResult(
         file_bytes=jfif.assemble(geom, payload, quality=config.quality),
         entropy_payload=payload,
@@ -563,7 +567,10 @@ def _encode_array_restart(
                 "violated"
             )
         capacity = restart_next_capacity_bytes(geom, restart, capacity)
-    payloads = np.asarray(out["payloads"])
+    # Fetch only the longest interval's byte prefix of every row (the
+    # buffer is an estimate-sized rectangle; see encode_array's note).
+    max_bytes = min(capacity, (int(bits.max()) + 7) // 8)
+    payloads = np.asarray(out["payloads"][:, :max_bytes])
     return restart_result(
         geom, list(payloads), [int(b) for b in bits], restart,
         config.quality,
