@@ -129,17 +129,18 @@ def restart_packer(
 ) -> str:
     """Packer choice for per-interval restart encodes.
 
-    The fused kernel pads every vmapped interval up to its TILE; a tiny
-    interval (say 1 MCU = 6 entries vs TILE=2048) would compute ~300x
-    dead entries per instance. Below half a tile the XLA symbolization
-    (no per-interval padding) is the cheaper program.
+    The fused kernel pads every vmapped interval up to its TILE, so tiny
+    intervals waste compute on dead entries — but the XLA symbolization
+    costs ~10x more per live entry on TPU, so the fused kernel wins even
+    at heavy padding. Measured on a 1080p 4:2:0 encode (ms/img, v5e):
+    interval 1: xla 42 / fused 135; interval 4 (24 entries): 38 / 36;
+    interval 15: 38 / 12; interval 120 (one MCU row): 44 / 4.2. The
+    crossover sits near 24 entries (~4 MCUs) — only below that does the
+    padding overwhelm the fused kernel's per-entry advantage.
     """
     packer = default_packer(capacity_bytes)
-    if packer == "fused":
-        from jpeg_encoder_tpu.kernels import entropy_pallas
-
-        if restart_mcus * geom.blocks_per_mcu < entropy_pallas.TILE // 2:
-            packer = "xla"
+    if packer == "fused" and restart_mcus * geom.blocks_per_mcu < 24:
+        packer = "xla"
     return packer
 
 
