@@ -186,3 +186,38 @@ def test_restart_fused_interpret_matches_xla():
         for i, b in enumerate(np.asarray(ref_b)):
             n = (int(b) + 7) // 8
             np.testing.assert_array_equal(ref_p[i, :n], fus_p[i, :n])
+
+
+def test_restart_capacity_retry_ladder():
+    """A too-small initial per-interval buffer walks the ladder and still
+    produces the byte-identical file (capacity is an implementation
+    detail, never a semantic)."""
+    rng = np.random.default_rng(33)
+    rgb = rng.integers(0, 256, (128, 128, 3), dtype=np.uint8)  # noise
+    big = EncoderConfig(restart_interval=10_000, quality=95)
+    small = EncoderConfig(
+        restart_interval=10_000, quality=95, capacity_bytes_per_pixel=0.01
+    )
+    from jpeg_encoder_tpu import pipeline as pl
+
+    cap0 = pl.restart_default_capacity_bytes(
+        big.geometry(128, 128), 10_000, 0.01
+    )
+    out_small = pipeline.encode_array(rgb, small)
+    assert out_small.bit_length > 8 * cap0  # the ladder really fired
+    assert out_small.file_bytes == pipeline.encode_array(rgb, big).file_bytes
+
+
+def test_restart_batch_retry_matches(tmp_path):
+    """Batch restart overflow retries per image and matches single-image."""
+    from jpeg_encoder_tpu.parallel import batch as batch_lib
+    from jpeg_encoder_tpu.parallel import mesh as mesh_lib
+
+    rng = np.random.default_rng(34)
+    images = rng.integers(0, 256, (2, 64, 64, 3), dtype=np.uint8)
+    cfg = EncoderConfig(
+        restart_interval=10_000, quality=95, capacity_bytes_per_pixel=0.01
+    )
+    files = batch_lib.encode_batch(images, cfg, mesh_lib.data_mesh(2))
+    for i in range(2):
+        assert files[i] == pipeline.encode_array(images[i], cfg).file_bytes
