@@ -90,6 +90,25 @@ class FrameGeometry:
     def chroma_height(self) -> int:
         return _round_up(self.height // self.v_factor, 8)
 
+    @property
+    def mcu_grid_aligned(self) -> bool:
+        """True when the scan's MCU count matches the SOF-implied grid.
+
+        The reference's dim % (8*factor) == 1 quirk (sampling.rs:24-44 +
+        the chroma-keyed MCU loop, entropy_coding.rs:97) makes it emit
+        FEWER MCUs than ceil(dim / (8*factor)) — a decoder reading the
+        SOF dimensions expects more. Harmless for one unbroken scan
+        (decoders read sequentially and both sides stay in lockstep,
+        reference-parity), but fatal for any framing that gives the
+        decoder absolute positions: restart markers resync interval k to
+        MCU k*N of the DECODER's grid, and band-local tiling assumes the
+        grids agree (parallel/tiled.tileable). Such modes require this
+        predicate.
+        """
+        return self.chroma_width == self.padded_width // self.h_factor and (
+            self.chroma_height == self.padded_height // self.v_factor
+        )
+
     # ---- block/MCU bookkeeping ----
 
     @property

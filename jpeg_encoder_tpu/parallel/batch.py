@@ -86,6 +86,7 @@ def encode_batch(
     geom = config.geometry(width, height)
     restart = config.restart_interval
     if restart is not None:
+        pipeline.check_restart_geometry(geom)
         capacity = pipeline.restart_default_capacity_bytes(
             geom, restart, config.capacity_bytes_per_pixel
         )

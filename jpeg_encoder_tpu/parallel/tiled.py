@@ -59,9 +59,7 @@ def tileable(geom: FrameGeometry) -> bool:
     oracle.subsample_plane) which band-local encoding cannot reproduce —
     encode_tiled falls back to the single-device path for them.
     """
-    return geom.chroma_width == geom.padded_width // geom.h_factor and (
-        geom.chroma_height == geom.padded_height // geom.v_factor
-    )
+    return geom.mcu_grid_aligned
 
 
 def _band_rows(geom: FrameGeometry, n_dev: int) -> int:
@@ -286,6 +284,10 @@ def encode_tiled(
     height, width = rgb.shape[:2]
     geom = config.geometry(width, height)
     n_dev = mesh.devices.size
+    if config.restart_interval is not None:
+        # Raise the clear restart-vs-quirk-geometry error here rather
+        # than warning about tiling first and raising from the fallback.
+        pipeline.check_restart_geometry(geom)
     if not tileable(geom):
         # The reference accepts these inputs (main.rs:8-68), so refusing
         # them from an advertised mode would be a parity gap: encode on

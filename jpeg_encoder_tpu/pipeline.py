@@ -497,6 +497,29 @@ def encode_array(
     return result
 
 
+def check_restart_geometry(geom: FrameGeometry) -> None:
+    """Refuse restart framing on MCU-grid-misaligned quirk geometries.
+
+    The reference's quirk geometries emit fewer MCUs than the SOF
+    dimensions imply (config.FrameGeometry.mcu_grid_aligned). An unbroken
+    scan hides that (decoders read sequentially, staying in lockstep with
+    the reference-parity stream), but restart markers RESYNC the decoder
+    to absolute MCU positions — interval k starts at MCU k*N of the
+    DECODER's grid — so a framed file would decode shifted and truncated
+    (verified against PIL). Refuse loudly instead.
+    """
+    if not geom.mcu_grid_aligned:
+        raise ValueError(
+            f"restart markers are unsupported for {geom.width}x"
+            f"{geom.height} at {geom.h_factor}:{geom.v_factor} "
+            "subsampling: the reference-parity scan omits trailing MCU "
+            "columns/rows on this dim % (8*factor) == 1 quirk geometry, "
+            "which is incompatible with the absolute MCU positions "
+            "restart markers give the decoder; encode without "
+            "--restart-interval"
+        )
+
+
 def restart_result(
     geom: FrameGeometry,
     segments: list[np.ndarray],
@@ -544,6 +567,7 @@ def _encode_array_restart(
     already saw overflow.
     """
     restart = config.restart_interval
+    check_restart_geometry(geom)
     capacity = _initial_capacity_bytes or restart_default_capacity_bytes(
         geom, restart, config.capacity_bytes_per_pixel
     )

@@ -221,3 +221,49 @@ def test_restart_batch_retry_matches(tmp_path):
     files = batch_lib.encode_batch(images, cfg, mesh_lib.data_mesh(2))
     for i in range(2):
         assert files[i] == pipeline.encode_array(images[i], cfg).file_bytes
+
+
+@pytest.mark.parametrize("dims", [(33, 49), (41, 33), (17, 17)])
+def test_restart_refuses_quirk_geometries(dims):
+    """dim % (8*factor) == 1 quirk geometries make the reference emit
+    fewer MCUs than the SOF implies; restart markers would resync the
+    decoder to absolute positions and the file would decode shifted
+    (observed with PIL: trailing gray). The encoder must refuse, in every
+    mode."""
+    h, w = dims
+    rgb = _image(h, w, seed=40 + h)
+    cfg = EncoderConfig(restart_interval=2)
+    with pytest.raises(ValueError, match="quirk geometry"):
+        pipeline.encode_array(rgb, cfg)
+
+    from jpeg_encoder_tpu.parallel import batch as batch_lib
+    from jpeg_encoder_tpu.parallel import mesh as mesh_lib
+    from jpeg_encoder_tpu.parallel import tiled
+
+    with pytest.raises(ValueError, match="quirk geometry"):
+        batch_lib.encode_batch(rgb[None], cfg, mesh_lib.data_mesh(2))
+    with pytest.raises(ValueError, match="quirk geometry"):
+        tiled.encode_tiled(rgb, cfg, mesh_lib.data_mesh(2))
+
+
+def test_restart_odd_but_aligned_dims_decode_identically():
+    """Odd dims whose chroma grid still aligns (75x99) keep working."""
+    rgb = _image(75, 99, seed=44)
+    plain = pipeline.encode_array(rgb, EncoderConfig()).file_bytes
+    marked = pipeline.encode_array(
+        rgb, EncoderConfig(restart_interval=2)
+    ).file_bytes
+    a = np.asarray(Image.open(io.BytesIO(plain)).convert("RGB"))
+    b = np.asarray(Image.open(io.BytesIO(marked)).convert("RGB"))
+    assert np.array_equal(a, b)
+
+
+def test_restart_tiled_444():
+    from jpeg_encoder_tpu.parallel import mesh as mesh_lib
+    from jpeg_encoder_tpu.parallel import tiled
+
+    rgb = _image(48, 64, seed=16)  # 4:4:4: 6 MCU rows x 8 cols
+    cfg = EncoderConfig(subsampling_ratio=(4, 4, 4), restart_interval=8)
+    single = pipeline.encode_array(rgb, cfg)
+    tiled_r = tiled.encode_tiled(rgb, cfg, mesh_lib.data_mesh(3))
+    assert tiled_r.file_bytes == single.file_bytes
