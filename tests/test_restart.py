@@ -267,3 +267,34 @@ def test_restart_tiled_444():
     single = pipeline.encode_array(rgb, cfg)
     tiled_r = tiled.encode_tiled(rgb, cfg, mesh_lib.data_mesh(3))
     assert tiled_r.file_bytes == single.file_bytes
+
+
+@pytest.mark.slow
+def test_restart_fuzz_geometries_vs_pil():
+    """Random geometries x ratios x intervals: aligned grids must decode
+    pixel-identically to the unbroken scan; misaligned ones must refuse."""
+    rng = np.random.default_rng(77)
+    ratios = [(4, 2, 0), (4, 2, 2), (4, 4, 4)]
+    checked = refused = 0
+    for _ in range(24):
+        h = int(rng.integers(9, 120))
+        w = int(rng.integers(9, 120))
+        ratio = ratios[int(rng.integers(3))]
+        interval = int(rng.integers(1, 9))
+        rgb = rng.normal(128, 40, (h, w, 3)).clip(0, 255).astype(np.uint8)
+        cfg = EncoderConfig(subsampling_ratio=ratio, restart_interval=interval)
+        geom = cfg.geometry(w, h)
+        if not geom.mcu_grid_aligned:
+            with pytest.raises(ValueError, match="quirk geometry"):
+                pipeline.encode_array(rgb, cfg)
+            refused += 1
+            continue
+        marked = pipeline.encode_array(rgb, cfg).file_bytes
+        plain = pipeline.encode_array(
+            rgb, EncoderConfig(subsampling_ratio=ratio)
+        ).file_bytes
+        a = np.asarray(Image.open(io.BytesIO(plain)).convert("RGB"))
+        b = np.asarray(Image.open(io.BytesIO(marked)).convert("RGB"))
+        assert np.array_equal(a, b), (h, w, ratio, interval)
+        checked += 1
+    assert checked >= 10  # the draw must actually exercise the hot path
