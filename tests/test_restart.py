@@ -17,7 +17,7 @@ import pytest
 from PIL import Image
 
 from jpeg_encoder_tpu import pipeline
-from jpeg_encoder_tpu.config import EncoderConfig, FrameGeometry
+from jpeg_encoder_tpu.config import EncoderConfig
 from jpeg_encoder_tpu.ops import entropy
 
 
