@@ -365,6 +365,55 @@ def entropy_encode(
     return writer.to_bytes(), writer.bit_length
 
 
+def entropy_encode_restart(
+    y_coeffs: np.ndarray,
+    cb_coeffs: np.ndarray,
+    cr_coeffs: np.ndarray,
+    geom: FrameGeometry,
+    restart_mcus: int,
+) -> tuple[list[bytes], list[int]]:
+    """Restart-framed scan: one independent segment per N-MCU interval.
+
+    The golden model for the restart extension (ITU-T T.81 E.2.4): DC
+    predictors reset at every interval, and each segment byte-aligns with
+    1-bits (B.1.1.5) — both re-derived here from the spec, independent of
+    the production io/jfif + device implementations the tests compare
+    against. Returns (padded unstuffed segment bytes, true bit counts).
+    """
+    zz = tables.ZIGZAG_ORDER
+    y_zz = y_coeffs.reshape(-1, 64)[:, zz]
+    cb_zz = cb_coeffs.reshape(-1, 64)[:, zz]
+    cr_zz = cr_coeffs.reshape(-1, 64)[:, zz]
+    luma_order = luma_scan_order(geom)
+
+    segments: list[bytes] = []
+    bit_counts: list[int] = []
+    for start in range(0, geom.num_mcus, restart_mcus):
+        writer = BitWriter()
+        prev = {"y": 0, "cb": 0, "cr": 0}
+        for mcu in range(start, min(start + restart_mcus, geom.num_mcus)):
+            for block_idx in luma_order[mcu]:
+                prev["y"] = encode_block(
+                    y_zz[block_idx], prev["y"],
+                    tables.Y_DC_HUFFMAN, tables.Y_AC_HUFFMAN, writer,
+                )
+            prev["cb"] = encode_block(
+                cb_zz[mcu], prev["cb"],
+                tables.C_DC_HUFFMAN, tables.C_AC_HUFFMAN, writer,
+            )
+            prev["cr"] = encode_block(
+                cr_zz[mcu], prev["cr"],
+                tables.C_DC_HUFFMAN, tables.C_AC_HUFFMAN, writer,
+            )
+        raw = bytearray(writer.to_bytes())
+        rem = writer.bit_length & 7
+        if rem:
+            raw[-1] |= 0xFF >> rem  # spec padding: 1-bits to the boundary
+        segments.append(bytes(raw))
+        bit_counts.append(writer.bit_length)
+    return segments, bit_counts
+
+
 # --------------------------------------------------------------------------
 # Full-pipeline oracle
 # --------------------------------------------------------------------------

@@ -298,3 +298,32 @@ def test_restart_fuzz_geometries_vs_pil():
         assert np.array_equal(a, b), (h, w, ratio, interval)
         checked += 1
     assert checked >= 10  # the draw must actually exercise the hot path
+
+
+@pytest.mark.parametrize("ratio", [(4, 2, 0), (4, 2, 2), (4, 4, 4)])
+def test_restart_full_file_byte_identical_to_oracle(ratio):
+    """BYTE identity of restart files against the NumPy golden model:
+    oracle.entropy_encode_restart re-derives interval segmentation, DC
+    resets, and spec 1-padding from T.81 independently of the device
+    path and of io/jfif's padding helper."""
+    from jpeg_encoder_tpu import oracle
+    from jpeg_encoder_tpu.io import jfif
+
+    rgb = _image(40, 48, seed=50)
+    for interval in (1, 3, 7):
+        cfg = EncoderConfig(subsampling_ratio=ratio, restart_interval=interval)
+        got = pipeline.encode_array(rgb, cfg)
+        ref = oracle.encode_oracle(
+            rgb, EncoderConfig(subsampling_ratio=ratio)
+        )
+        segments, bits = oracle.entropy_encode_restart(
+            ref.y_coeffs, ref.cb_coeffs, ref.cr_coeffs, ref.geom, interval
+        )
+        expect = jfif.assemble_restart(
+            ref.geom,
+            [np.frombuffer(s, np.uint8) for s in segments],
+            bits, interval,
+        )
+        assert got.file_bytes == expect, (ratio, interval)
+        assert got.entropy_payload == b"".join(segments)
+        assert got.bit_length == sum(bits)
