@@ -1,4 +1,8 @@
-"""One matrix cell, fast: `python tools/bench_cell.py 4:4:4 [bin]`.
+"""One matrix cell, fast: `python tools/bench_cell.py 4:4:4 [bin] [restart=N]`.
+
+restart=N frames the scan into N-MCU restart intervals (the opt-in
+DRI/RSTn extension) so its device cost is measurable with the same
+methodology.
 
 Same methodology as tools/bench_matrix.py (payloads materialized,
 enqueue-K + scalar fetch), one (ratio, algorithm) configuration only —
@@ -23,6 +27,10 @@ H, W, B = 1088, 1920, 8
 MIN_TIMED_SECONDS = 3.0
 ratio = parse_subsampling_ratio(sys.argv[1]) if len(sys.argv) > 1 else (4, 4, 4)
 algo = DctAlgorithm.BIN_DCT if "bin" in sys.argv[2:] else DctAlgorithm.REAL_DCT
+restart = next(
+    (int(a.split("=")[1]) for a in sys.argv[2:] if a.startswith("restart=")),
+    None,
+)
 
 key = jax.random.key(0)
 base = jax.random.uniform(key, (B, H // 8, W // 8, 3))
@@ -30,14 +38,24 @@ img = jax.image.resize(base, (B, H, W, 3), "linear")
 noise = jax.random.uniform(jax.random.key(100), (B, H, W, 3)) * 0.1
 images = ((img * 0.9 + noise) * 255).astype(jnp.uint8)
 
-config = EncoderConfig(subsampling_ratio=ratio, dct_algorithm=algo)
+config = EncoderConfig(
+    subsampling_ratio=ratio, dct_algorithm=algo, restart_interval=restart
+)
 geom = config.geometry(W, H)
-cap = pipeline.default_capacity_bytes(geom, config.capacity_bytes_per_pixel)
+if restart is not None:
+    cap = pipeline.restart_default_capacity_bytes(
+        geom, restart, config.capacity_bytes_per_pixel
+    )
+else:
+    cap = pipeline.default_capacity_bytes(geom, config.capacity_bytes_per_pixel)
 
 
 @jax.jit
 def go(imgs):
     def one(rgb):
+        if restart is not None:
+            out = pipeline.encode_core_restart(rgb, geom, algo, cap, restart)
+            return out["payloads"], out["bits"].max()
         out = pipeline.encode_core(rgb, geom, algo, cap, with_coeffs=False)
         return out["payload"], out["total_bits"]
     return jax.vmap(one)(imgs)
@@ -58,5 +76,6 @@ for _ in range(2):
 est = timed_run(4) / 4
 iters = max(8, min(2048, int(MIN_TIMED_SECONDS / max(est, 1e-5))))
 dt = timed_run(iters) / iters
-print(f"{':'.join(map(str, ratio))} {algo.value}: {dt*1e3:.2f} ms/batch  "
+tag = f" restart={restart}" if restart is not None else ""
+print(f"{':'.join(map(str, ratio))} {algo.value}{tag}: {dt*1e3:.2f} ms/batch  "
       f"{B*H*W/dt/1e6:.0f} Mpix/s")
