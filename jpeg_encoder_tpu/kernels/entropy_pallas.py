@@ -543,6 +543,7 @@ def encode_entropy_fused(
     dc_diff: jnp.ndarray | None = None,  # (E,) i32, dc_in_kernel=False only
     rows_loc: int | None = None,
     force_fallback: bool = False,
+    tile: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fused device entropy coding: returns (u32 words flat bytes, total_bits).
 
@@ -562,21 +563,26 @@ def encode_entropy_fused(
     rows_loc sets the per-tile output row window of the matmul assembly
     (tiles denser than that take the sequential fallback; tests shrink it
     to force the fallback on real content); force_fallback compiles the
-    fallback alone (byte-identity coverage).
+    fallback alone (byte-identity coverage). tile overrides the grid
+    step's entry count (default: the module TILE) — small restart
+    intervals pass the smallest legal size covering their entries so
+    per-interval padding shrinks from TILE-sized to near-exact.
     """
     assert capacity_bytes % 4 == 0
-    # The two-level offset scan reshapes t2 = TILE/2 as (128, t2/128).T,
-    # so t2/128 must be a whole power of two: TILE in 256, 512, 1024, ...
-    if TILE < 256 or TILE % 256 or (TILE // 256) & (TILE // 256 - 1):
+    if tile is None:
+        tile = TILE
+    # The two-level offset scan reshapes t2 = tile/2 as (128, t2/128).T,
+    # so t2/128 must be a whole power of two: tile in 256, 512, 1024, ...
+    if tile < 256 or tile % 256 or (tile // 256) & (tile // 256 - 1):
         raise ValueError(
-            f"JPEG_TPU_ENTROPY_TILE must be 256 * a power of two, got {TILE}"
+            f"entropy tile must be 256 * a power of two, got {tile}"
         )
     if rows_loc is None:
         # Keep the matmul-assembly fast path's density threshold at
         # ~128 bits/entry average per tile (rows_loc * 4096 bits over
-        # TILE entries) as TILE scales; none of the corpus content
+        # tile entries) as the tile scales; none of the corpus content
         # classes reach it (architecture 4:4:4 peaks ~59 bits/entry).
-        rows_loc = max(64, TILE // 32)
+        rows_loc = max(64, tile // 32)
     num_entries = z.shape[0]
     num_words = capacity_bytes // 4
     # Data rows + the matmul window's slack (a tile whose pairs start on
@@ -592,7 +598,7 @@ def encode_entropy_fused(
         z = jnp.concatenate(
             [dc_diff.astype(z.dtype)[:, None], z[:, 1:]], axis=1
         )
-    padded_e = -(-num_entries // TILE) * TILE
+    padded_e = -(-num_entries // tile) * tile
     if padded_e != num_entries:
         pad = padded_e - num_entries
         z = jnp.concatenate([z, jnp.zeros((pad, 64), z.dtype)])
@@ -608,7 +614,7 @@ def encode_entropy_fused(
 
     kernel = functools.partial(
         _entropy_kernel,
-        tile=TILE,
+        tile=tile,
         num_entries=num_entries,
         blocks_per_mcu=geom.blocks_per_mcu,
         hv=geom.h_factor * geom.v_factor,
@@ -618,10 +624,10 @@ def encode_entropy_fused(
         force_fallback=force_fallback,
         dc_in_kernel=dc_in_kernel,
     )
-    t2 = TILE // 2
+    t2 = tile // 2
     out, bits = pl.pallas_call(
         kernel,
-        grid=(padded_e // TILE,),
+        grid=(padded_e // tile,),
         in_specs=[
             pl.BlockSpec((t2, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),

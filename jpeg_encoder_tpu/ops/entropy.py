@@ -486,10 +486,19 @@ def encode_scan_restart(
     if packer in ("fused", "fused_interpret"):
         from jpeg_encoder_tpu.kernels import entropy_pallas
 
+        # Smallest legal grid step covering one interval: per-interval
+        # padding shrinks from TILE-sized to the next 256*2^k >= epi
+        # (an interval of one 1080p MCU row = 720 entries pads 1.42x at
+        # tile 1024 instead of 2.84x at the default 2048).
+        tile = 256
+        while tile < min(epi, entropy_pallas.TILE):
+            tile *= 2
+
         def one(zz, lv):
             words, bits = entropy_pallas.encode_entropy_fused(
                 zz, geom, capacity_bytes,
                 interpret=(packer == "fused_interpret"), live_entries=lv,
+                tile=tile,
             )
             return _words_to_bytes(words), bits
 

@@ -129,19 +129,16 @@ def restart_packer(
 ) -> str:
     """Packer choice for per-interval restart encodes.
 
-    The fused kernel pads every vmapped interval up to its TILE, so tiny
-    intervals waste compute on dead entries — but the XLA symbolization
-    costs ~10x more per live entry on TPU, so the fused kernel wins even
-    at heavy padding. Measured on a 1080p 4:2:0 encode (ms/img, v5e):
-    interval 1: xla 42 / fused 135; interval 4 (24 entries): 38 / 36;
-    interval 15: 38 / 12; interval 120 (one MCU row): 44 / 4.2. The
-    crossover sits near 24 entries (~4 MCUs) — only below that does the
-    padding overwhelm the fused kernel's per-entry advantage.
+    Since encode_scan_restart sizes the kernel's grid step to the
+    smallest legal tile covering one interval (256 * 2^k >= entries),
+    per-interval padding is bounded and the fused kernel beats the XLA
+    symbolization at EVERY interval size — measured on a 1080p 4:2:0
+    encode (ms/img, v5e): interval 1: xla 41 / fused 35; interval 4:
+    41 / 13; one MCU row (120): 41 / 3.3. So this is just
+    default_packer: fused on TPU within VMEM budget, XLA elsewhere.
     """
-    packer = default_packer(capacity_bytes)
-    if packer == "fused" and restart_mcus * geom.blocks_per_mcu < 24:
-        packer = "xla"
-    return packer
+    del geom, restart_mcus
+    return default_packer(capacity_bytes)
 
 
 def dct_planes_zigzag(
