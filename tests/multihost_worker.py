@@ -79,6 +79,19 @@ def main() -> int:
         "cross-host tiled encode diverged from the local single encode"
     )
 
+    # Phase 3: the same cross-host band shard with RESTART framing — no
+    # DC ppermute, byte-aligned marker assembly; each band covers whole
+    # 5-MCU intervals (band = 5 MCU rows x 2 cols = 10 MCUs). Must equal
+    # the local single-device restart encode byte for byte.
+    config_r = EncoderConfig(
+        subsampling_ratio=(4, 2, 0), restart_interval=5
+    )
+    tiled_restart = tiled.encode_tiled(big, config_r, global_mesh)
+    local_restart = pipeline.encode_array(big, config_r)
+    assert tiled_restart.file_bytes == local_restart.file_bytes, (
+        "cross-host restart-tiled encode diverged from the local encode"
+    )
+
     with open(os.path.join(out_dir, f"result-{idx}.json"), "w") as f:
         json.dump(
             {
@@ -92,6 +105,7 @@ def main() -> int:
                 "summary": summary,
                 "tiled_bytes": len(tiled_result.file_bytes),
                 "tiled_bits": int(tiled_result.bit_length),
+                "tiled_restart_bytes": len(tiled_restart.file_bytes),
             },
             f,
         )

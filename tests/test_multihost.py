@@ -112,3 +112,10 @@ def test_two_process_encode_dataset(tmp_path, rng):
     for i in range(2):
         assert results[i]["tiled_bytes"] == len(want.file_bytes)
         assert results[i]["tiled_bits"] == int(want.bit_length)
+
+    # Phase 3 (in the workers): restart-framed cross-host band encode.
+    want_r = pipeline.encode_array(
+        big, EncoderConfig(subsampling_ratio=(4, 2, 0), restart_interval=5)
+    )
+    for i in range(2):
+        assert results[i]["tiled_restart_bytes"] == len(want_r.file_bytes)
