@@ -489,10 +489,14 @@ def encode_scan_restart(
         # Smallest legal grid step covering one interval: per-interval
         # padding shrinks from TILE-sized to the next 256*2^k >= epi
         # (an interval of one 1080p MCU row = 720 entries pads 1.42x at
-        # tile 1024 instead of 2.84x at the default 2048).
+        # tile 1024 instead of 2.84x at the default 2048). Clamped to the
+        # configured TILE by min (never exceeds the env cap; an invalid
+        # cap still fails the kernel's validity check, same as the
+        # unbroken path).
         tile = 256
-        while tile < min(epi, entropy_pallas.TILE):
+        while tile < epi:
             tile *= 2
+        tile = min(tile, entropy_pallas.TILE)
 
         def one(zz, lv):
             words, bits = entropy_pallas.encode_entropy_fused(

@@ -125,11 +125,10 @@ def encode_batch(
                 files.append(
                     pipeline.encode_array(
                         np.asarray(images[i]), config,
-                        _initial_capacity_bytes=min(
-                            capacity * 8,
-                            pipeline.restart_worst_case_capacity_bytes(
-                                geom, restart
-                            ),
+                        _initial_capacity_bytes=(
+                            pipeline.restart_next_capacity_bytes(
+                                geom, restart, capacity
+                            )
                         ),
                     ).file_bytes
                 )

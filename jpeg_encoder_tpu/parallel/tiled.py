@@ -392,7 +392,7 @@ def _assemble_tiled_restart(
     config: EncoderConfig,
     n_dev: int,
     capacity: int,
-    payloads: np.ndarray,      # (n_dev, n_int, capacity)
+    payloads: np.ndarray,      # (n_dev, n_int, <= capacity) byte prefixes
     bit_lengths: np.ndarray,   # (n_dev, n_int)
 ) -> pipeline.EncodeResult:
     """Band-tiled restart assembly: interval concatenation, no splicing.

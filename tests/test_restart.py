@@ -198,9 +198,7 @@ def test_restart_capacity_retry_ladder():
     small = EncoderConfig(
         restart_interval=10_000, quality=95, capacity_bytes_per_pixel=0.01
     )
-    from jpeg_encoder_tpu import pipeline as pl
-
-    cap0 = pl.restart_default_capacity_bytes(
+    cap0 = pipeline.restart_default_capacity_bytes(
         big.geometry(128, 128), 10_000, 0.01
     )
     out_small = pipeline.encode_array(rgb, small)
