@@ -85,6 +85,12 @@ def build_parser() -> argparse.ArgumentParser:
         "fidelity, bigger files). Omit for reference-parity fixed tables",
     )
     parser.add_argument(
+        "--optimize-huffman", action="store_true",
+        help="two-pass encode with per-image optimal Huffman tables "
+        "(smaller files, custom DHT segments; libjpeg's -optimize analog). "
+        "Off by default (reference parity: fixed Annex-K tables)",
+    )
+    parser.add_argument(
         "--restart-interval", type=int, default=None, metavar="N",
         help="emit DRI/RSTn restart markers every N MCUs: each interval is "
         "an independently decodable scan segment (DC predictors reset, "
@@ -168,6 +174,7 @@ def main(argv: list[str] | None = None) -> int:
             bin_dct_descale=args.bin_dct_descale,
             quality=args.quality,
             restart_interval=args.restart_interval,
+            optimize_huffman=args.optimize_huffman,
         )
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)

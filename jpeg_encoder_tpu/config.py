@@ -205,6 +205,14 @@ class EncoderConfig:
     # 4:2:0/4:2:2/4:4:4 (tools/exp_dct_chain_t.py, chip_session.log r2).
     # False forces the XLA ordered chain (the bit-exactness oracle path).
     transposed_dct: bool | None = None
+    # Two-pass optimized Huffman coding (libjpeg's -optimize analog): a
+    # statistics pass histograms the scan's symbols on device, optimal
+    # per-image canonical tables are built host-side (tables.optimal_spec,
+    # ITU-T T.81 K.2), and the encode pass emits them in the DHT segments.
+    # Files shrink by the tables' fit to the content (typically 2-10%);
+    # any baseline decoder reads them. Off by default (reference parity:
+    # fixed Annex-K tables, huffman_tables.rs).
+    optimize_huffman: bool = False
     # Emit DRI/RSTn restart markers every N MCUs (1..65535). Each restart
     # interval is an independently decodable scan segment: DC predictors
     # reset, the bitstream byte-aligns (1-padded, per spec) before each

@@ -98,25 +98,33 @@ def header_bytes(
     geom: FrameGeometry,
     quality: int | None = None,
     restart_interval: int | None = None,
+    dht_specs: tuple | None = None,
 ) -> bytes:
     """Everything before the entropy-coded scan payload.
 
     `quality` selects the DQT contents (tables.scaled_quant_tables); it must
     match the tables the coefficients were quantized with. None = the
     reference's fixed Annex-K tables. `restart_interval` (MCUs) inserts a
-    DRI segment before SOS; None = reference parity (no DRI).
+    DRI segment before SOS; None = reference parity (no DRI). `dht_specs`
+    = (y_dc, c_dc, y_ac, c_ac) HuffmanSpecs overrides the Annex-K code
+    tables (the optimized-Huffman mode); they must match the tables the
+    scan was coded with.
     """
     q_luma, q_chroma = tables.scaled_quant_tables(quality)
+    y_dc, c_dc, y_ac, c_ac = dht_specs or (
+        tables.Y_DC_HUFFMAN, tables.C_DC_HUFFMAN,
+        tables.Y_AC_HUFFMAN, tables.C_AC_HUFFMAN,
+    )
     segments = [
         SOI,
         app0_segment(),
         dqt_segment(0, q_luma),
         dqt_segment(1, q_chroma),
         sof0_segment(geom),
-        dht_segment(0, 0, tables.Y_DC_HUFFMAN),
-        dht_segment(0, 1, tables.C_DC_HUFFMAN),
-        dht_segment(1, 0, tables.Y_AC_HUFFMAN),
-        dht_segment(1, 1, tables.C_AC_HUFFMAN),
+        dht_segment(0, 0, y_dc),
+        dht_segment(0, 1, c_dc),
+        dht_segment(1, 0, y_ac),
+        dht_segment(1, 1, c_ac),
     ]
     if restart_interval is not None:
         segments.append(dri_segment(restart_interval))
@@ -128,11 +136,13 @@ def assemble(
     geom: FrameGeometry,
     entropy_payload: np.ndarray | bytes,
     quality: int | None = None,
+    dht_specs: tuple | None = None,
 ) -> bytes:
     """Full JFIF file bytes from the (unstuffed) entropy payload."""
     if isinstance(entropy_payload, (bytes, bytearray)):
         entropy_payload = np.frombuffer(bytes(entropy_payload), dtype=np.uint8)
-    return header_bytes(geom, quality) + stuff_bytes(entropy_payload) + EOI
+    return (header_bytes(geom, quality, dht_specs=dht_specs)
+            + stuff_bytes(entropy_payload) + EOI)
 
 
 def pad_final_byte(payload: np.ndarray, bit_length: int) -> np.ndarray:
@@ -155,11 +165,13 @@ def assemble_restart(
     interval_bits: list[int],
     restart_interval: int,
     quality: int | None = None,
+    dht_specs: tuple | None = None,
 ) -> bytes:
     """JFIF file with DRI/RSTn: one independently coded scan segment per
     restart interval, each byte-aligned (1-padded) and 0xFF-stuffed, joined
     by RST(n mod 8) markers (no marker after the last segment)."""
-    parts = [header_bytes(geom, quality, restart_interval=restart_interval)]
+    parts = [header_bytes(geom, quality, restart_interval=restart_interval,
+                          dht_specs=dht_specs)]
     last = len(interval_payloads) - 1
     for n, (payload, bits) in enumerate(zip(interval_payloads, interval_bits)):
         num_bytes = (int(bits) + 7) // 8

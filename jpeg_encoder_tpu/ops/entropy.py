@@ -205,6 +205,7 @@ def encode_scan(
     packer: str = "xla",
     live_entries: jnp.ndarray | None = None,
     dc_in_kernel: bool = True,
+    luts: tuple[jnp.ndarray, jnp.ndarray] | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Quantized coefficients -> packed entropy bytes.
 
@@ -249,6 +250,13 @@ def encode_scan(
     assert capacity_bytes % 4 == 0
     hv = geom.h_factor * geom.v_factor
 
+    if luts is not None and packer in ("fused", "fused_interpret"):
+        # Per-image tables (luts) flow as traced operands through the XLA
+        # symbolization; the fused kernel bakes its LUT constants, so the
+        # optimized-Huffman mode rides the XLA packer (a stats+final pass
+        # costs two dispatches anyway; see pipeline notes).
+        packer = "xla"
+
     if packer in ("fused", "fused_interpret"):
         # Everything below (symbolization, DC differences, LUTs, packing)
         # happens inside the fused Pallas kernel; only marshalling stays
@@ -271,7 +279,31 @@ def encode_scan(
     )
     return encode_entries_xla(
         z.astype(jnp.int32), entry_diff, hv, capacity_bytes, packer,
-        live_entries,
+        live_entries, luts,
+    )
+
+
+def default_packed_luts() -> tuple[np.ndarray, np.ndarray]:
+    """(dc, ac) (2, 256) (length << 20) | code LUTs for the Annex-K tables.
+
+    Row 0 = luma table, row 1 = chroma; one gather yields both fields
+    (code <= 16 bits, length <= 16, so the packing is lossless). The
+    same packed form carries per-image optimized tables
+    (tables.optimal_spec) through the identical encode program.
+    """
+    dc = (tables.DC_LEN_LUT.astype(np.int32) << 20) | (
+        tables.DC_CODE_LUT.astype(np.int32)
+    )
+    ac = (tables.AC_LEN_LUT.astype(np.int32) << 20) | (
+        tables.AC_CODE_LUT.astype(np.int32)
+    )
+    return dc, ac
+
+
+def pack_lut(spec) -> np.ndarray:
+    """One HuffmanSpec -> 256-entry (length << 20) | code LUT row."""
+    return (spec.length_lut.astype(np.int32) << 20) | (
+        spec.code_lut.astype(np.int32)
     )
 
 
@@ -282,6 +314,7 @@ def encode_entries_xla(
     capacity_bytes: int,
     packer: str = "xla",
     live_entries: jnp.ndarray | None = None,
+    luts: tuple[jnp.ndarray, jnp.ndarray] | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Marshaled scan entries -> packed bytes (the XLA symbolization body).
 
@@ -290,6 +323,10 @@ def encode_entries_xla(
     symbolize any MCU-aligned entry slice: `z` is (E, 64) zigzag entries
     with raw DC at slot 0, `entry_diff` the (E,) DC differences, and the
     luma/chroma pattern repeats every hv+2 entries.
+
+    luts = (dc, ac) packed (2, 256) arrays overrides the Annex-K code
+    tables — traced operands, so the optimized-Huffman mode reuses ONE
+    compiled program for any per-image tables.
     """
     m = z.shape[0] // (hv + 2)
 
@@ -298,16 +335,17 @@ def encode_entries_xla(
     )
     tbl = jnp.where(is_luma, 0, 1)  # (E,) table id: 0 luma, 1 chroma
 
-    # Fused (length << 20) | code LUTs: one gather yields both fields
-    # (code <= 16 bits, length <= 16, so the packing is lossless).
-    dc_lut = jnp.asarray(
-        (tables.DC_LEN_LUT.astype(np.int32) << 20)
-        | tables.DC_CODE_LUT.astype(np.int32)
-    )
-    ac_lut = jnp.asarray(
-        (tables.AC_LEN_LUT.astype(np.int32) << 20)
-        | tables.AC_CODE_LUT.astype(np.int32)
-    )
+    if luts is None:
+        dc_np, ac_np_packed = default_packed_luts()
+        dc_lut, ac_lut = jnp.asarray(dc_np), jnp.asarray(ac_np_packed)
+        candidates = ASSEMBLE_CANDIDATES
+    else:
+        dc_lut, ac_lut = luts
+        # Custom tables can assign 1-bit codes -> 2-bit minimum entries;
+        # the output assembly must consider more intersecting entries per
+        # word, and only the XLA packer takes the widened count.
+        candidates = ASSEMBLE_CANDIDATES_CUSTOM
+        packer = "xla"
 
     # ---- DC slot (slot 0) ----
     dc_bl = _bit_length(entry_diff)
@@ -342,32 +380,24 @@ def encode_entries_xla(
     nz_bits = ((nz_cl & 0xFFFFF) << ac_bl) | ac_ampl
 
     # A zero lane emits one ZRL iff it is the 16th/32nd/48th zero of a run
-    # that terminates at a later nonzero (never for trailing zeros). ZRL and
-    # EOB codes are two scalars per table: a select, not a gather.
+    # that terminates at a later nonzero (never for trailing zeros). ZRL
+    # and EOB codes are two values per table, read from the (possibly
+    # per-image) packed LUT rows: a (E, 1)-shaped gather each (XLA folds
+    # it to a select when the LUT is a compile-time constant).
     is_zero_lane = (z == 0) & (pos > 0)
     zrl_here = is_zero_lane & (pos <= last_nz) & (run_dist % 16 == 0)
-    ac_np = (tables.AC_LEN_LUT.astype(np.int32) << 20) | tables.AC_CODE_LUT.astype(np.int32)
-    is_luma_b = is_luma[:, None]
-    zrl_code = jnp.where(
-        is_luma_b, int(ac_np[0, 0xF0]) & 0xFFFFF, int(ac_np[1, 0xF0]) & 0xFFFFF
-    )
-    zrl_len = jnp.where(
-        is_luma_b, int(ac_np[0, 0xF0]) >> 20, int(ac_np[1, 0xF0]) >> 20
-    )
+    zrl_cl = ac_lut[tbl[:, None], 0xF0]  # (E, 1)
+    zrl_code = zrl_cl & 0xFFFFF
+    zrl_len = zrl_cl >> 20
 
     ac_bits = jnp.where(is_nonzero, nz_bits, jnp.where(zrl_here, zrl_code, 0))
     ac_len = jnp.where(is_nonzero, nz_len, jnp.where(zrl_here, zrl_len, 0))
 
     # ---- EOB slot (slot 64): emitted iff the last zigzag coefficient is 0 ----
     eob_needed = z[:, 63] == 0
-    eob_code = jnp.where(
-        is_luma, int(ac_np[0, 0x00]) & 0xFFFFF, int(ac_np[1, 0x00]) & 0xFFFFF
-    )
-    eob_clen = jnp.where(
-        is_luma, int(ac_np[0, 0x00]) >> 20, int(ac_np[1, 0x00]) >> 20
-    )
-    eob_bits = jnp.where(eob_needed, eob_code, 0)
-    eob_len = jnp.where(eob_needed, eob_clen, 0)
+    eob_cl = ac_lut[tbl, 0x00]  # (E,)
+    eob_bits = jnp.where(eob_needed, eob_cl & 0xFFFFF, 0)
+    eob_len = jnp.where(eob_needed, eob_cl >> 20, 0)
 
     # ---- assemble slots: [DC | AC lanes 1..63 | EOB] per entry ----
     slot_bits = jnp.concatenate(
@@ -390,11 +420,90 @@ def encode_entries_xla(
         slot_bits = jnp.where(live, slot_bits, jnp.uint32(0))
 
     if packer == "xla":
-        return pack_entries(slot_bits, slot_lens, capacity_bytes)
+        return pack_entries(slot_bits, slot_lens, capacity_bytes, candidates)
     return pack_entries_pallas(
         slot_bits, slot_lens, capacity_bytes,
         interpret=(packer == "pallas_interpret"),
     )
+
+
+def symbol_histograms(
+    y_coeffs: jnp.ndarray,
+    cb_coeffs: jnp.ndarray,
+    cr_coeffs: jnp.ndarray,
+    geom: FrameGeometry,
+    coeffs_zigzagged: bool = False,
+    restart_mcus: int | None = None,
+) -> jnp.ndarray:
+    """Huffman symbol counts for the scan: (4, 256) int32 on device.
+
+    Rows: Y-DC, C-DC, Y-AC, C-AC — the statistics pass of two-pass
+    optimized-Huffman encoding (the analog of libjpeg's -optimize
+    gather). Symbol derivation mirrors encode_entries_xla exactly: DC
+    magnitude categories, (run << 4) | size AC symbols at nonzero
+    positions, ZRL at completed 16-zero runs, EOB when the block's tail
+    is zero. One segment-sum over combined (table, symbol) ids; masked
+    slots land in a 1025th trash bin.
+
+    restart_mcus MUST match the encode pass's framing: restart intervals
+    reset the DC predictors, changing the DC difference categories — a
+    category unseen by mismatched statistics would have no code and emit
+    zero bits (a corrupt stream). The interval-framed DC diffs come from
+    the same interval_dc_diffs the encoder uses.
+    """
+    hv = geom.h_factor * geom.v_factor
+    z, entry_diff = marshal_scan_inputs(
+        y_coeffs, cb_coeffs, cr_coeffs, geom, None, coeffs_zigzagged,
+        want_diff=restart_mcus is None,
+    )
+    z = z.astype(jnp.int32)
+    m = geom.num_mcus
+    if restart_mcus is not None:
+        bpm = geom.blocks_per_mcu
+        num_entries = m * bpm
+        epi = min(restart_mcus, m) * bpm
+        n_int = -(-m // restart_mcus)
+        pad = n_int * epi - num_entries
+        zp = (
+            jnp.concatenate([z, jnp.zeros((pad, 64), z.dtype)]) if pad
+            else z
+        )
+        entry_diff = jax.vmap(
+            lambda zi: interval_dc_diffs(zi, hv)
+        )(zp.reshape(n_int, epi, 64)).reshape(-1)[:num_entries]
+    is_luma = jnp.asarray(
+        np.tile(np.array([True] * hv + [False, False]), m)
+    )
+    tbl = jnp.where(is_luma, 0, 1)
+
+    dc_sym = _bit_length(entry_diff)                     # (E,)
+    dc_ids = tbl * 256 + dc_sym
+
+    pos = jnp.arange(64, dtype=jnp.int32)[None, :]
+    nz_marker = jnp.where((z != 0) & (pos > 0), pos, 0)
+    run_base = jnp.concatenate(
+        [jnp.zeros_like(nz_marker[:, :1]),
+         jax.lax.cummax(nz_marker, axis=1)[:, :-1]],
+        axis=1,
+    )
+    last_nz = jax.lax.cummax(nz_marker, axis=1)[:, -1:]
+    is_nonzero = (z != 0) & (pos > 0)
+    run_dist = pos - run_base
+    zeros_before = run_dist - 1
+    ac_sym = ((zeros_before & 15) << 4) | _bit_length(z)
+    is_zero_lane = (z == 0) & (pos > 0)
+    zrl_here = is_zero_lane & (pos <= last_nz) & (run_dist % 16 == 0)
+    sym = jnp.where(is_nonzero, ac_sym, 0xF0)
+    emit = is_nonzero | zrl_here
+    ac_base = (2 + tbl)[:, None] * 256
+    ac_ids = jnp.where(emit, ac_base + sym, 1024)        # (E, 64)
+    eob_ids = jnp.where(z[:, 63] == 0, ac_base[:, 0], 1024)
+
+    ids = jnp.concatenate([dc_ids, ac_ids.reshape(-1), eob_ids])
+    hist = jax.ops.segment_sum(
+        jnp.ones_like(ids), ids, num_segments=1025
+    )
+    return hist[:1024].reshape(4, 256)
 
 
 def interval_dc_diffs(z: jnp.ndarray, hv: int) -> jnp.ndarray:
@@ -426,6 +535,7 @@ def encode_scan_restart(
     coeffs_zigzagged: bool = False,
     packer: str = "xla",
     live_entries: jnp.ndarray | None = None,
+    luts: tuple[jnp.ndarray, jnp.ndarray] | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Quantized coefficients -> one packed stream PER RESTART INTERVAL.
 
@@ -483,6 +593,9 @@ def encode_scan_restart(
         total - jnp.arange(n_int, dtype=jnp.int32) * epi, 0, epi
     )
 
+    if luts is not None and packer in ("fused", "fused_interpret"):
+        packer = "xla"  # traced tables ride the XLA path (see encode_scan)
+
     if packer in ("fused", "fused_interpret"):
         from jpeg_encoder_tpu.kernels import entropy_pallas
 
@@ -511,7 +624,8 @@ def encode_scan_restart(
     def one(zz, lv):
         zz = zz.astype(jnp.int32)
         return encode_entries_xla(
-            zz, interval_dc_diffs(zz, hv), hv, capacity_bytes, packer, lv
+            zz, interval_dc_diffs(zz, hv), hv, capacity_bytes, packer, lv,
+            luts,
         )
 
     return jax.vmap(one)(zi, live)
@@ -587,10 +701,16 @@ def final_dc(
 ENTRY_WORDS = 56
 
 # Entries intersecting one 32-bit output word: the entry covering the word's
-# first bit plus every entry that *starts* inside the word. The shortest
-# possible entry is 4 bits (chroma DC category 0 + chroma EOB, 2+2), so at
-# most 8 entries start within 32 bits -> 9 candidates; one extra for margin.
+# first bit plus every entry that *starts* inside the word. With the
+# Annex-K tables the shortest possible entry is 4 bits (chroma DC
+# category 0 + chroma EOB, 2+2), so at most 8 entries start within 32
+# bits -> 9 candidates; one extra for margin. Per-image OPTIMIZED tables
+# can assign 1-bit codes, shrinking the minimum entry to 2 bits (DC cat 0
+# + EOB): 16 starts + 1 covering + 1 margin -> 18 (pack_entries takes the
+# count as a parameter; encode_entries_xla widens it for custom luts --
+# a 10-candidate assembly silently DROPS contributions for such streams).
 ASSEMBLE_CANDIDATES = 10
+ASSEMBLE_CANDIDATES_CUSTOM = 18
 
 
 def _split_slot_words(
@@ -682,7 +802,8 @@ def pack_entries_pallas(
 
 
 def pack_entries(
-    slot_bits: jnp.ndarray, slot_lens: jnp.ndarray, capacity_bytes: int
+    slot_bits: jnp.ndarray, slot_lens: jnp.ndarray, capacity_bytes: int,
+    candidates: int = ASSEMBLE_CANDIDATES,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Scatter-free bitstream packing of (E, S) per-entry slot codes.
 
@@ -713,7 +834,7 @@ def pack_entries(
 
     flat_words = entry_words.reshape(-1)
     out = jnp.zeros((num_words,), jnp.uint32)
-    for k in range(ASSEMBLE_CANDIDATES):
+    for k in range(candidates):
         e = jnp.clip(first + k, 0, num_entries - 1)
         p = base - start_bit[e]  # signed bit position of the word in entry e
         j = p >> 5  # floor division: -1 when the entry starts mid-word

@@ -82,6 +82,15 @@ def encode_batch(
     """
     if images.ndim != 4 or images.shape[3] != 3:
         raise ValueError("expected (B, H, W, 3) uint8 batch")
+    if config.optimize_huffman:
+        # Per-image tables need a per-image stats pass + host table build;
+        # the simple correct form is the single-image two-pass per member
+        # (the heavy passes still run on device; a vmapped-LUT batch
+        # program is a possible future optimization).
+        return [
+            pipeline.encode_array(np.asarray(im), config).file_bytes
+            for im in images
+        ]
     batch, height, width = images.shape[:3]
     geom = config.geometry(width, height)
     restart = config.restart_interval

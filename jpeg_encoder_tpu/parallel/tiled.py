@@ -284,6 +284,12 @@ def encode_tiled(
     height, width = rgb.shape[:2]
     geom = config.geometry(width, height)
     n_dev = mesh.devices.size
+    if config.optimize_huffman:
+        raise ValueError(
+            "optimized Huffman tables are not supported with band tiling "
+            "(band-local statistics would need a cross-band table "
+            "agreement pass); encode without --tile-bands"
+        )
     if config.restart_interval is not None:
         # Raise the clear restart-vs-quirk-geometry error here rather
         # than warning about tiling first and raising from the fallback.

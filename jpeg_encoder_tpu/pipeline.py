@@ -404,6 +404,180 @@ def compiled_restart_encoder(
     return jitted
 
 
+def _planes_zigzag(rgb, geom, algorithm, fast_dct, bin_dct_descale,
+                   quality, transposed_dct):
+    """Shared front half: RGB -> zigzag coefficients (the encode_core
+    plane + DCT stages, reused by the stats and custom-table passes)."""
+    y, cb, cr = color.rgb_to_ycbcr(rgb)
+    y = sample.pad_plane(y, geom)
+    cb = sample.subsample_plane(sample.pad_plane(cb, geom), geom)
+    cr = sample.subsample_plane(sample.pad_plane(cr, geom), geom)
+    y_z, cb_z, cr_z, _ = dct_planes_zigzag(
+        y, cb, cr, algorithm, fast_dct, bin_dct_descale, quality,
+        transposed_dct,
+    )
+    return y_z, cb_z, cr_z
+
+
+@functools.lru_cache(maxsize=64)
+def compiled_stats_encoder(
+    geom: FrameGeometry,
+    algorithm: DctAlgorithm,
+    fast_dct: bool = False,
+    bin_dct_descale: bool = False,
+    quality: int | None = None,
+    transposed_dct: bool | None = None,
+    restart_mcus: int | None = None,
+):
+    """Jitted statistics pass: rgb -> (4, 256) Huffman symbol counts.
+
+    restart_mcus must match the encode pass's framing (interval DC
+    resets change the DC categories the tables must cover)."""
+
+    def fn(rgb: jnp.ndarray) -> jnp.ndarray:
+        y_z, cb_z, cr_z = _planes_zigzag(
+            rgb, geom, algorithm, fast_dct, bin_dct_descale, quality,
+            transposed_dct,
+        )
+        return entropy.symbol_histograms(
+            y_z, cb_z, cr_z, geom, coeffs_zigzagged=True,
+            restart_mcus=restart_mcus,
+        )
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=64)
+def compiled_custom_encoder(
+    geom: FrameGeometry,
+    algorithm: DctAlgorithm,
+    capacity_bytes: int,
+    restart_mcus: int | None = None,
+    fast_dct: bool = False,
+    validate: bool = False,
+    bin_dct_descale: bool = False,
+    quality: int | None = None,
+    transposed_dct: bool | None = None,
+):
+    """Jitted encode with TRACED Huffman tables: fn(rgb, dc_lut, ac_lut).
+
+    The (2, 256) packed LUTs are operands, so ONE compiled program per
+    (geometry, config) serves every per-image optimized table set.
+    """
+
+    def fn(rgb, dc_lut, ac_lut):
+        y_z, cb_z, cr_z = _planes_zigzag(
+            rgb, geom, algorithm, fast_dct, bin_dct_descale, quality,
+            transposed_dct,
+        )
+        luts = (dc_lut, ac_lut)
+        if restart_mcus is not None:
+            payloads, bits = entropy.encode_scan_restart(
+                y_z, cb_z, cr_z, geom, capacity_bytes, restart_mcus,
+                coeffs_zigzagged=True, packer="xla", luts=luts,
+            )
+            result = {"payloads": payloads, "bits": bits}
+        else:
+            payload, total_bits = entropy.encode_scan(
+                y_z, cb_z, cr_z, geom, capacity_bytes,
+                coeffs_zigzagged=True, packer="xla", luts=luts,
+            )
+            result = {"payload": payload, "total_bits": total_bits}
+        if validate:
+            result["max_dc_diff"], result["max_ac"] = (
+                entropy.coefficient_ranges(y_z, cb_z, cr_z, geom)
+            )
+        return result
+
+    return jax.jit(fn)
+
+
+def optimal_specs_and_luts(hist: np.ndarray):
+    """(4, 256) symbol counts -> (specs 4-tuple, (dc, ac) device LUTs)."""
+    specs = tuple(tables.optimal_spec(hist[i]) for i in range(4))
+    dc_lut = jnp.asarray(np.stack(
+        [entropy.pack_lut(specs[0]), entropy.pack_lut(specs[1])]
+    ))
+    ac_lut = jnp.asarray(np.stack(
+        [entropy.pack_lut(specs[2]), entropy.pack_lut(specs[3])]
+    ))
+    return specs, dc_lut, ac_lut
+
+
+def _encode_array_optimized(
+    rgb: np.ndarray, config: EncoderConfig, geom: FrameGeometry
+) -> EncodeResult:
+    """Two-pass optimized-Huffman encode (encode_array body).
+
+    Pass 1 histograms the scan's symbols on device; the host builds the
+    four optimal canonical tables (tables.optimal_spec); pass 2 encodes
+    with the tables as traced operands and writes them into the DHT
+    segments. Composes with restart framing (the interval streams code
+    with the same per-image tables).
+    """
+    restart = config.restart_interval
+    if restart is not None:
+        check_restart_geometry(geom)
+    device_rgb = jnp.asarray(rgb, dtype=jnp.uint8)
+    hist = np.asarray(compiled_stats_encoder(
+        geom, config.dct_algorithm, config.fast_dct,
+        config.bin_dct_descale, config.quality, config.transposed_dct,
+        restart,
+    )(device_rgb))
+    specs, dc_lut, ac_lut = optimal_specs_and_luts(hist)
+
+    if restart is not None:
+        capacity = restart_default_capacity_bytes(
+            geom, restart, config.capacity_bytes_per_pixel
+        )
+    else:
+        capacity = default_capacity_bytes(
+            geom, config.capacity_bytes_per_pixel
+        )
+    while True:
+        out = compiled_custom_encoder(
+            geom, config.dct_algorithm, capacity, restart,
+            config.fast_dct, config.validate, config.bin_dct_descale,
+            config.quality, config.transposed_dct,
+        )(device_rgb, dc_lut, ac_lut)
+        if config.validate:
+            validate_scan_ranges(
+                int(out["max_dc_diff"]), int(out["max_ac"])
+            )
+        if restart is not None:
+            bits = np.asarray(out["bits"])
+            if int(bits.max()) <= 8 * capacity:
+                break
+            if capacity >= restart_worst_case_capacity_bytes(geom, restart):
+                raise AssertionError("packer invariant violated")
+            capacity = restart_next_capacity_bytes(geom, restart, capacity)
+        else:
+            bit_length = int(out["total_bits"])
+            if bit_length <= 8 * capacity:
+                break
+            if capacity >= worst_case_capacity_bytes(geom):
+                raise AssertionError("packer invariant violated")
+            capacity = next_capacity_bytes(geom, capacity)
+
+    if restart is not None:
+        max_bytes = min(capacity, (int(bits.max()) + 7) // 8)
+        payloads = np.asarray(out["payloads"][:, :max_bytes])
+        return restart_result(
+            geom, list(payloads), [int(b) for b in bits], restart,
+            config.quality, dht_specs=specs,
+        )
+    num_bytes = (bit_length + 7) // 8
+    payload = np.asarray(out["payload"][:num_bytes]).tobytes()
+    return EncodeResult(
+        file_bytes=jfif.assemble(
+            geom, payload, quality=config.quality, dht_specs=specs
+        ),
+        entropy_payload=payload,
+        bit_length=bit_length,
+        geom=geom,
+    )
+
+
 def validate_scan_ranges(max_dc_diff: int, max_ac: int) -> None:
     """Raise like the reference panics (entropy_coding.rs:153-155,188-191)."""
     if max_dc_diff.bit_length() > 11:
@@ -437,6 +611,12 @@ def encode_array(
         raise ValueError("expected (H, W, 3) RGB input")
     height, width = rgb.shape[:2]
     geom = config.geometry(width, height)
+    if config.optimize_huffman:
+        if return_coeffs:
+            raise ValueError(
+                "return_coeffs is not supported with optimized Huffman"
+            )
+        return _encode_array_optimized(rgb, config, geom)
     if config.restart_interval is not None:
         if return_coeffs:
             raise ValueError(
@@ -523,6 +703,7 @@ def restart_result(
     bits_list: list[int],
     restart_mcus: int,
     quality: int | None,
+    dht_specs: tuple | None = None,
 ) -> EncodeResult:
     """EncodeResult for a restart-framed encode, from per-interval streams.
 
@@ -540,7 +721,8 @@ def restart_result(
     ]
     return EncodeResult(
         file_bytes=jfif.assemble_restart(
-            geom, segments, bits_list, restart_mcus, quality=quality
+            geom, segments, bits_list, restart_mcus, quality=quality,
+            dht_specs=dht_specs,
         ),
         entropy_payload=b"".join(s.tobytes() for s in padded_segs),
         bit_length=int(sum(bits_list)),

@@ -236,6 +236,87 @@ class HuffmanSpec:
         return int(self.code_lut[symbol]), length
 
 
+def optimal_spec(freq: np.ndarray) -> HuffmanSpec:
+    """Per-image optimal canonical table from symbol counts (T.81 K.2).
+
+    The exact flowchart algorithm (figures K.1-K.3, the one libjpeg's
+    -optimize implements): merge the two least-frequent active symbols
+    (ties broken toward the LARGER symbol value), chaining code-size
+    increments through OTHERS; reserve pseudo-symbol 256 with count 1 so
+    no real symbol is assigned the all-ones code (F.1.4.5's forbidden
+    pattern); then fold code sizes longer than 16 down with the BITS
+    adjustment and drop the reserved symbol from the longest length.
+    Symbols list in (code length, symbol value) order — the canonical
+    DHT ordering the rest of the codec already consumes via HuffmanSpec.
+
+    An extension beyond the reference (huffman_tables.rs ships only the
+    Annex-K defaults); produced tables go on the wire in DHT segments, so
+    any decoder reads them like libjpeg-optimized files.
+    """
+    assert freq.shape == (256,)
+    counts = np.zeros(257, dtype=np.int64)
+    counts[:256] = freq
+    counts[256] = 1  # reserved: claims the all-ones code
+    codesize = np.zeros(257, dtype=np.int32)
+    others = np.full(257, -1, dtype=np.int32)
+
+    while True:
+        active = np.nonzero(counts > 0)[0]
+        if active.size < 2:
+            break
+        # Least count, ties toward the largest value (K.2: "If more than
+        # one such value, choose the one with the largest value").
+        c = counts[active]
+        v1 = int(active[np.lexsort((-active, c))[0]])
+        rest = active[active != v1]
+        c2 = counts[rest]
+        v2 = int(rest[np.lexsort((-rest, c2))[0]])
+
+        counts[v1] += counts[v2]
+        counts[v2] = 0
+        codesize[v1] += 1
+        while others[v1] != -1:
+            v1 = others[v1]
+            codesize[v1] += 1
+        others[v1] = v2
+        codesize[v2] += 1
+        while others[v2] != -1:
+            v2 = others[v2]
+            codesize[v2] += 1
+
+    bits = np.zeros(60, dtype=np.int32)  # generous: sizes can exceed 16
+    for size in codesize[codesize > 0]:
+        bits[size - 1] += 1
+    # Fold sizes > 16 down (figure K.3 verbatim): remove a PAIR from the
+    # over-long length (one moves to length i-1), and split a shorter
+    # code (the longest with length <= i-2) into two at j+1.
+    i = len(bits) - 1
+    while i >= 16:
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    # Remove the reserved symbol's code from the longest used length.
+    i = 15
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1
+
+    lengths = codesize[:256]
+    order = np.lexsort((np.arange(256), lengths))
+    symbols = tuple(
+        int(s) for s in order[lengths[order] > 0]
+    )
+    spec = HuffmanSpec(tuple(int(b) for b in bits[:16]), symbols)
+    assert sum(spec.bits) == len(symbols)
+    return spec
+
+
 Y_DC_HUFFMAN = HuffmanSpec(Y_DC_BITS, Y_DC_SYMBOLS)
 C_DC_HUFFMAN = HuffmanSpec(C_DC_BITS, C_DC_SYMBOLS)
 Y_AC_HUFFMAN = HuffmanSpec(Y_AC_BITS, Y_AC_SYMBOLS)
