@@ -34,7 +34,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     parser.add_argument(
         "--dataset", default="", metavar="DIR",
-        help="encode every .bmp under DIR as a (multi-host-shardable) "
+        help="encode every .bmp in DIR (top level) as a (multi-host-shardable) "
         "dataset: each process takes a strided share, writes outputs plus "
         "a resumable manifest into -o, and the final summary aggregates "
         "over all processes (BASELINE config 5). Single-process runs "

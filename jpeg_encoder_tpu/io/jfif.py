@@ -169,11 +169,21 @@ def assemble_restart(
 ) -> bytes:
     """JFIF file with DRI/RSTn: one independently coded scan segment per
     restart interval, each byte-aligned (1-padded) and 0xFF-stuffed, joined
-    by RST(n mod 8) markers (no marker after the last segment)."""
+    by RST(n mod 8) markers (no marker after the last segment).
+
+    Zero-bit segments are dropped here: a live MCU always emits at least
+    its DC and EOB codes, so 0 bits means a fully dead (padding) interval,
+    and dead intervals are always a suffix of the scan — dropping them
+    never shifts the RSTn numbering of live segments. (The band-tiled
+    assembler also pre-filters; this keeps the invariant for any caller.)
+    """
     parts = [header_bytes(geom, quality, restart_interval=restart_interval,
                           dht_specs=dht_specs)]
-    last = len(interval_payloads) - 1
-    for n, (payload, bits) in enumerate(zip(interval_payloads, interval_bits)):
+    live = [
+        (p, b) for p, b in zip(interval_payloads, interval_bits) if int(b) > 0
+    ]
+    last = len(live) - 1
+    for n, (payload, bits) in enumerate(live):
         num_bytes = (int(bits) + 7) // 8
         seg = np.ascontiguousarray(payload[:num_bytes], dtype=np.uint8)
         parts.append(stuff_bytes(pad_final_byte(seg, int(bits))))

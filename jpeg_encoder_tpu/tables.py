@@ -285,6 +285,15 @@ def optimal_spec(freq: np.ndarray) -> HuffmanSpec:
             codesize[v2] += 1
 
     bits = np.zeros(60, dtype=np.int32)  # generous: sizes can exceed 16
+    # Depth bound: a Huffman code of length L requires total count >=
+    # Fib(L+1) (the minimal-count tree is the Fibonacci chain), so
+    # L <= ~1.44 * log2(total). 60 covers total counts up to ~Fib(61)
+    # ~ 2.5e12 symbols — far beyond any 65535x65535 image's scan — but
+    # the bound is implicit, so fail loudly rather than IndexError.
+    assert codesize.max() <= len(bits), (
+        f"Huffman code size {int(codesize.max())} exceeds the {len(bits)}-"
+        "entry working array (pathological symbol distribution)"
+    )
     for size in codesize[codesize > 0]:
         bits[size - 1] += 1
     # Fold sizes > 16 down (figure K.3 verbatim): remove a PAIR from the

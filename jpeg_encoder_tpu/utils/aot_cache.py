@@ -19,6 +19,13 @@ same — the cache can only ever cost one rebuild, never a wrong program.
 
 Opt-in via enable() (the CLI calls it next to compile_cache.enable());
 library/test callers that never enable it see pure jax.jit behavior.
+
+Trust model: artifacts are pickled executables, so LOADING one executes
+whatever the file deserializes to — the cache directory must be writable
+only by the user running the CLI (it is created 0o700 below, and
+JPEG_TPU_CACHE_DIR should never point at a shared/world-writable path).
+Corruption is recovered from; tampering is not defended against beyond
+that permission boundary.
 """
 
 from __future__ import annotations
@@ -50,7 +57,10 @@ def enable(cache_dir: str | None = None) -> str | None:
     root = (cache_dir or os.environ.get("JPEG_TPU_CACHE_DIR")
             or compile_cache._DEFAULT_DIR)
     _dir = os.path.join(root, "aot")
-    os.makedirs(_dir, exist_ok=True)
+    # 0o700: artifacts are pickles, so the dir must not be writable (or
+    # readable, they encode local source) by other users. Applies only on
+    # creation; pre-existing permissive dirs are the user's call.
+    os.makedirs(_dir, mode=0o700, exist_ok=True)
     _enabled = True
     return _dir
 

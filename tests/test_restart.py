@@ -325,3 +325,33 @@ def test_restart_full_file_byte_identical_to_oracle(ratio):
         assert got.file_bytes == expect, (ratio, interval)
         assert got.entropy_payload == b"".join(segments)
         assert got.bit_length == sum(bits)
+
+
+def test_assemble_restart_drops_dead_suffix_segments():
+    """Zero-bit (fully dead) trailing intervals must not emit an empty
+    segment + spurious RSTn: assemble_restart filters them itself, so any
+    caller (not just the band-tiled assembler) gets a valid stream."""
+    from jpeg_encoder_tpu.io import jfif
+
+    rgb = _image(16, 16, seed=7)
+    cfg = EncoderConfig(subsampling_ratio=(4, 4, 4), restart_interval=2)
+    geom = cfg.geometry(16, 16)
+    expect = pipeline.encode_array(rgb, cfg)
+
+    # Re-assemble from the live segments PLUS two dead (0-bit) suffix
+    # entries; the file must be identical to the clean assembly.
+    out = pipeline.compiled_restart_encoder(
+        geom, cfg.dct_algorithm,
+        pipeline.restart_default_capacity_bytes(geom, 2), 2,
+    )(rgb)
+    b = np.asarray(out["bits"])
+    p = np.asarray(out["payloads"])
+    segs = [p[i] for i in range(b.size)]
+    bits = [int(x) for x in b]
+    clean = jfif.assemble_restart(geom, segs, bits, 2)
+    assert clean == expect.file_bytes
+    dead = np.zeros_like(segs[0])
+    padded = jfif.assemble_restart(
+        geom, segs + [dead, dead], bits + [0, 0], 2
+    )
+    assert padded == expect.file_bytes
