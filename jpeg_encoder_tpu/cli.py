@@ -303,62 +303,60 @@ def _run_dataset(inputs: list[str], args, config: EncoderConfig) -> int:
     }
     if args.timing:
         line["seconds"] = elapsed
+        if result.seconds > 0:
+            # File-to-file throughput of THIS process's encode loop (the
+            # honest end-to-end number: BMPs on disk in, JPEGs out).
+            line["megapixels_per_second"] = (
+                result.pixels / result.seconds / 1e6
+            )
+            line["decode_seconds"] = result.decode_seconds
+            line["write_seconds"] = result.write_seconds
     print(json.dumps(line))
     return 0
 
 
 def _run_batch(inputs: list[str], args, config: EncoderConfig) -> int:
-    """Batch encode: group by dimensions, device-batch each group.
+    """Batch encode through the overlapped decode | compute | write engine.
 
-    Same-sized images load through the native threaded BMP loader and
-    encode as one sharded device batch (parallel/batch.py) — on a single
-    chip that is a vmapped program; on a pod slice each chip takes a slice
-    of the batch.
+    Images load through the native threaded BMP loader and encode as
+    chunked, sharded device batches (parallel/stream.py + batch.py) —
+    BMP decode of chunk k+1 and file writes of chunk k-1 run concurrently
+    with chunk k's device program. On a single chip each dispatch is a
+    vmapped program; on a pod slice each chip takes a slice of the batch.
     """
-    import collections
     import os
 
     from jpeg_encoder_tpu.utils import aot_cache, compile_cache
 
     compile_cache.enable()
     aot_cache.enable()
-    from jpeg_encoder_tpu.io import bmp
-    from jpeg_encoder_tpu.parallel import batch as batch_lib
     from jpeg_encoder_tpu.parallel import mesh as mesh_lib
+    from jpeg_encoder_tpu.parallel import stream
 
     out_dir = args.output or "."
     os.makedirs(out_dir, exist_ok=True)
-    t0 = time.perf_counter()
-    total_pixels = 0
 
-    groups: dict[tuple[int, int], list[str]] = collections.defaultdict(list)
+    mesh = mesh_lib.data_mesh(args.devices or None)
+
+    def emit(path: str, data: bytes):
+        name = os.path.splitext(os.path.basename(path))[0] + ".jpeg"
+        with open(os.path.join(out_dir, name), "wb") as f:
+            f.write(data)
+        print(f"encoded {path} -> {os.path.join(out_dir, name)}")
+
     try:
-        for path in inputs:
-            with open(path, "rb") as f:
-                head = f.read(64)
-            dims = bmp.probe_dimensions(head)
-            groups[dims].append(path)
+        stats = stream.encode_paths(inputs, config, mesh, emit)
     except (OSError, ValueError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
 
-    mesh = mesh_lib.data_mesh(args.devices or None)
-    for (width, height), paths in groups.items():
-        images = bmp.read_batch(paths)
-        files = batch_lib.encode_batch(images, config, mesh)
-        for path, data in zip(paths, files):
-            name = os.path.splitext(os.path.basename(path))[0] + ".jpeg"
-            with open(os.path.join(out_dir, name), "wb") as f:
-                f.write(data)
-            print(f"encoded {path} -> {os.path.join(out_dir, name)}")
-        total_pixels += width * height * len(paths)
-
-    elapsed = time.perf_counter() - t0
     if args.timing:
         print(json.dumps({
-            "images": len(inputs),
-            "seconds": elapsed,
-            "megapixels_per_second": total_pixels / elapsed / 1e6,
+            "images": stats.encoded,
+            "seconds": stats.seconds,
+            "megapixels_per_second": stats.pixels / stats.seconds / 1e6,
+            "decode_seconds": stats.decode_seconds,
+            "write_seconds": stats.write_seconds,
         }))
     return 0
 

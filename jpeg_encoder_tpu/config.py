@@ -177,12 +177,6 @@ class EncoderConfig:
     # (ops/dct.bindct_descale_2d), giving properly normalized coefficients
     # and image quality within a few dB of real-dct.
     bin_dct_descale: bool = False
-    # Run DCT+quantization through the fused Pallas kernels
-    # (kernels/dct_pallas.py: level shift, transform, quant divide and the
-    # zigzag permutation in one VMEM pass) instead of the XLA-fused ops
-    # path. Both are bit-identical to the reference; on non-TPU backends the
-    # kernels run in interpret mode (slow, tests only).
-    use_pallas: bool = False
     # Initial output-bitstream capacity estimate in bytes per pixel of the
     # original image. The packer's cost scales with this buffer, so it is an
     # estimate (typical Annex-K-table payloads are 0.1-0.4 B/px), not a

@@ -16,8 +16,11 @@ groups (the block's rows); the row-direction pass reuses the same code on a
 transposed-within-block lane permutation. Integer-only, bit-identical to
 the reference's un-descaled binDCT-C.
 
-Both kernels run under interpret mode on CPU for tests (tests/test_kernels.py);
-pipeline.encode_core selects them via EncoderConfig.use_pallas.
+Both per-plane (N, 64) kernels are RETIRED from the production dispatch
+(the transposed 3-plane kernels below own the TPU path via
+pipeline.dct_planes_zigzag); they remain as independent verification
+tiers, exercised in interpret mode by tests/test_kernels.py — the
+transposed kernels are asserted bit-identical against them.
 """
 
 from __future__ import annotations

@@ -139,10 +139,10 @@ def _bit_length_f32(av):
 
 
 def _entropy_kernel(
-    z_ref, lut_ref, live_ref, init_ref,
+    z_ref, lut_ref, scal_ref, live_ref, init_ref,
     out_ref, bits_ref,
     c0s, c1s, rloc, carry, dc_carry,
-    *, tile, num_entries, blocks_per_mcu, hv, num_words, lut_scalars,
+    *, tile, num_entries, blocks_per_mcu, hv, num_words,
     rows_loc, force_fallback, dc_in_kernel,
 ):
     pid = pl.program_id(0)
@@ -287,7 +287,13 @@ def _entropy_kernel(
     coded_bits = ((cl & 0xFFFFF) << ac_bl) | ac_ampl
     coded_len = (cl >> 20) + ac_bl
 
-    zrl_y, zrl_c, eob_y, eob_c = lut_scalars
+    # ZRL/EOB packed codes ride SMEM (traced, so per-image optimized
+    # tables reuse the same compiled kernel; Annex-K passes its constants
+    # through the same slots).
+    zrl_y = scal_ref[0, 0]
+    zrl_c = scal_ref[0, 1]
+    eob_y = scal_ref[0, 2]
+    eob_c = scal_ref[0, 3]
     zrl_here = (
         (z == 0) & (lane64 > 0) & (lane64 <= last_nz) & (run_dist % 16 == 0)
     )
@@ -532,6 +538,35 @@ def _lut_scalars():
     )
 
 
+def custom_lut_operands(
+    dc_lut: jnp.ndarray, ac_lut: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """TRACED (2, 256) packed (len<<20|code) tables -> kernel operands.
+
+    Builds the same stuffed (8, 128) row layout as _lut_rows — AC symbols
+    split at 128 per table, DC categories stuffed at the baseline-unused
+    AC symbols (bl+1)<<4 — plus the (1, 4) ZRL/EOB scalar block, from
+    traced arrays, so ONE compiled kernel serves every per-image
+    optimized table set. The stuffing slots are guaranteed free for any
+    table built from real scan statistics (the symbolization never emits
+    (r, 0) symbols for r in 1..14 except ZRL=0xF0;
+    pipeline.optimal_specs_and_luts asserts it).
+    """
+    rows4 = jnp.concatenate(
+        [ac_lut[0].reshape(2, 128), ac_lut[1].reshape(2, 128)]
+    ).astype(jnp.int32)
+    for bl in range(12):
+        sym = (bl + 1) << 4
+        r, lane = sym >> 7, sym & 127
+        rows4 = rows4.at[r, lane].set(dc_lut[0, bl])
+        rows4 = rows4.at[2 + r, lane].set(dc_lut[1, bl])
+    rows8 = jnp.concatenate([rows4, jnp.zeros((4, 128), jnp.int32)])
+    scal = jnp.stack(
+        [ac_lut[0, 0xF0], ac_lut[1, 0xF0], ac_lut[0, 0x00], ac_lut[1, 0x00]]
+    ).astype(jnp.int32).reshape(1, 4)
+    return rows8, scal
+
+
 def encode_entropy_fused(
     z: jnp.ndarray,        # (E, 64) zigzag coeffs in scan-entry order
     geom,
@@ -544,8 +579,15 @@ def encode_entropy_fused(
     rows_loc: int | None = None,
     force_fallback: bool = False,
     tile: int | None = None,
+    luts: tuple[jnp.ndarray, jnp.ndarray] | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fused device entropy coding: returns (u32 words flat bytes, total_bits).
+
+    luts = (dc, ac) TRACED (2, 256) packed tables overrides the Annex-K
+    constants (per-image optimized Huffman): the stuffed row layout and
+    ZRL/EOB scalars are rebuilt from them in XLA (custom_lut_operands)
+    and flow through the kernel's existing operand slots, so the same
+    compiled kernel serves every table set.
 
     dc_in_kernel=True (default): slot 0 of each entry holds the RAW DC
     coefficient and the kernel computes the running-predictor differences
@@ -612,6 +654,12 @@ def encode_entropy_fused(
         init_dc = jnp.zeros((3,), jnp.int32)
     init2 = jnp.asarray(init_dc, jnp.int32).reshape(1, 3)
 
+    if luts is None:
+        lut_rows = jnp.asarray(_lut_rows())
+        scal = jnp.asarray(_lut_scalars(), jnp.int32).reshape(1, 4)
+    else:
+        lut_rows, scal = custom_lut_operands(*luts)
+
     kernel = functools.partial(
         _entropy_kernel,
         tile=tile,
@@ -619,7 +667,6 @@ def encode_entropy_fused(
         blocks_per_mcu=geom.blocks_per_mcu,
         hv=geom.h_factor * geom.v_factor,
         num_words=num_words,
-        lut_scalars=_lut_scalars(),
         rows_loc=rows_loc,
         force_fallback=force_fallback,
         dc_in_kernel=dc_in_kernel,
@@ -631,6 +678,7 @@ def encode_entropy_fused(
         in_specs=[
             pl.BlockSpec((t2, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
@@ -657,5 +705,5 @@ def encode_entropy_fused(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(z2, jnp.asarray(_lut_rows()), live2, init2)
+    )(z2, lut_rows, scal, live2, init2)
     return out.reshape(-1)[:num_words], bits[0, 0]

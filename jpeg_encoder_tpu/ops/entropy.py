@@ -250,17 +250,13 @@ def encode_scan(
     assert capacity_bytes % 4 == 0
     hv = geom.h_factor * geom.v_factor
 
-    if luts is not None and packer in ("fused", "fused_interpret"):
-        # Per-image tables (luts) flow as traced operands through the XLA
-        # symbolization; the fused kernel bakes its LUT constants, so the
-        # optimized-Huffman mode rides the XLA packer (a stats+final pass
-        # costs two dispatches anyway; see pipeline notes).
-        packer = "xla"
-
     if packer in ("fused", "fused_interpret"):
         # Everything below (symbolization, DC differences, LUTs, packing)
         # happens inside the fused Pallas kernel; only marshalling stays
         # in XLA (want_diff=False: the kernel differences the raw DCs).
+        # Per-image tables (luts) are traced kernel operands — the stuffed
+        # row layout is rebuilt from them in XLA, so one compiled kernel
+        # serves every optimized table set.
         from jpeg_encoder_tpu.kernels import entropy_pallas
 
         z, entry_diff = marshal_scan_inputs(
@@ -272,6 +268,7 @@ def encode_scan(
             interpret=(packer == "fused_interpret"),
             live_entries=live_entries,
             dc_in_kernel=dc_in_kernel, dc_diff=entry_diff,
+            luts=luts,
         )
         return _words_to_bytes(words), total_bits
     z, entry_diff = marshal_scan_inputs(
@@ -434,6 +431,8 @@ def symbol_histograms(
     geom: FrameGeometry,
     coeffs_zigzagged: bool = False,
     restart_mcus: int | None = None,
+    init_dc: jnp.ndarray | None = None,
+    live_entries: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Huffman symbol counts for the scan: (4, 256) int32 on device.
 
@@ -450,10 +449,16 @@ def symbol_histograms(
     category unseen by mismatched statistics would have no code and emit
     zero bits (a corrupt stream). The interval-framed DC diffs come from
     the same interval_dc_diffs the encoder uses.
+
+    init_dc seeds the DC predictor chains like encode_scan's: the
+    MCU-band-sharded two-pass mode histograms each band with its
+    ppermuted predecessors so the psum of band counts equals the whole
+    scan's. live_entries masks the scan suffix into the trash bin
+    (uneven-band padding must not count symbols the encode never emits).
     """
     hv = geom.h_factor * geom.v_factor
     z, entry_diff = marshal_scan_inputs(
-        y_coeffs, cb_coeffs, cr_coeffs, geom, None, coeffs_zigzagged,
+        y_coeffs, cb_coeffs, cr_coeffs, geom, init_dc, coeffs_zigzagged,
         want_diff=restart_mcus is None,
     )
     z = z.astype(jnp.int32)
@@ -498,6 +503,15 @@ def symbol_histograms(
     ac_base = (2 + tbl)[:, None] * 256
     ac_ids = jnp.where(emit, ac_base + sym, 1024)        # (E, 64)
     eob_ids = jnp.where(z[:, 63] == 0, ac_base[:, 0], 1024)
+
+    if live_entries is not None:
+        live = (
+            jnp.arange(dc_ids.shape[0], dtype=jnp.int32)
+            < jnp.asarray(live_entries, jnp.int32)
+        )
+        dc_ids = jnp.where(live, dc_ids, 1024)
+        ac_ids = jnp.where(live[:, None], ac_ids, 1024)
+        eob_ids = jnp.where(live, eob_ids, 1024)
 
     ids = jnp.concatenate([dc_ids, ac_ids.reshape(-1), eob_ids])
     hist = jax.ops.segment_sum(
@@ -593,9 +607,6 @@ def encode_scan_restart(
         total - jnp.arange(n_int, dtype=jnp.int32) * epi, 0, epi
     )
 
-    if luts is not None and packer in ("fused", "fused_interpret"):
-        packer = "xla"  # traced tables ride the XLA path (see encode_scan)
-
     if packer in ("fused", "fused_interpret"):
         from jpeg_encoder_tpu.kernels import entropy_pallas
 
@@ -615,7 +626,7 @@ def encode_scan_restart(
             words, bits = entropy_pallas.encode_entropy_fused(
                 zz, geom, capacity_bytes,
                 interpret=(packer == "fused_interpret"), live_entries=lv,
-                tile=tile,
+                tile=tile, luts=luts,
             )
             return _words_to_bytes(words), bits
 

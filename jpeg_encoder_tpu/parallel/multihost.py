@@ -8,8 +8,11 @@ SURVEY.md section 2:
 * `initialize()` wraps jax.distributed.initialize — after it, jax.devices()
   spans the pod slice and every parallel/ helper works unchanged;
 * each process takes a strided slice of the file list (no coordination:
-  whole images are independent), groups it by dimensions, and pushes each
-  group through the shard_map batch encoder over its *local* devices;
+  whole images are independent), and pushes it through the overlapped
+  decode | compute | write engine (parallel/stream.py) over its *local*
+  devices — chunked, memory-bounded dispatches of the shard_map batch
+  encoder, with BMP decode and file writes running concurrently with the
+  device;
 * every process writes its outputs plus a JSON manifest. Reruns skip files
   whose outputs the manifest already records (the checkpoint/resume
   equivalent for a batch tool — SURVEY.md section 5), so a failed host can
@@ -31,9 +34,8 @@ import time
 import numpy as np
 
 from jpeg_encoder_tpu.config import EncoderConfig
-from jpeg_encoder_tpu.io import bmp
-from jpeg_encoder_tpu.parallel import batch as batch_lib
 from jpeg_encoder_tpu.parallel import mesh as mesh_lib
+from jpeg_encoder_tpu.parallel import stream
 
 
 def initialize(**kwargs) -> tuple[int, int]:
@@ -56,6 +58,10 @@ class DatasetResult:
     skipped: int
     output_bytes: int
     manifest_path: str
+    pixels: int = 0            # pixels encoded this run (not skipped ones)
+    seconds: float = 0.0       # file-to-file wall clock of the encode loop
+    decode_seconds: float = 0.0  # loader-thread busy time (overlapped)
+    write_seconds: float = 0.0   # writer-thread busy time (overlapped)
 
 
 def _manifest_path(out_dir: str, process_index: int) -> str:
@@ -113,39 +119,40 @@ def encode_dataset(
     if local_mesh is None:
         local_mesh = mesh_lib.data_mesh(devices=jax.local_devices())
 
-    groups: dict[tuple[int, int], list[str]] = {}
-    for path in todo:
-        with open(path, "rb") as f:
-            head = f.read(64)
-        groups.setdefault(bmp.probe_dimensions(head), []).append(path)
-
-    encoded = 0
-    total_bytes = 0
-    for _dims, group in groups.items():
-        images = bmp.read_batch(group)
-        files = batch_lib.encode_batch(images, config, local_mesh)
-        for path, data in zip(group, files):
-            name = out_name(path)
-            with open(os.path.join(out_dir, name), "wb") as f:
-                f.write(data)
-            done[name] = {"bytes": len(data), "source": path}
-            total_bytes += len(data)
-            encoded += 1
-        # Persist after each group so a crash loses at most one group.
+    def persist_manifest():
         manifest["updated"] = time.time()
         with open(manifest_file, "w") as f:
             json.dump(manifest, f, indent=1)
 
-    if not groups:
-        manifest["updated"] = time.time()
-        with open(manifest_file, "w") as f:
-            json.dump(manifest, f, indent=1)
+    emitted = 0
+
+    def emit(path: str, data: bytes):
+        nonlocal emitted
+        name = out_name(path)
+        with open(os.path.join(out_dir, name), "wb") as f:
+            f.write(data)
+        done[name] = {"bytes": len(data), "source": path}
+        emitted += 1
+        # Persist periodically so a crash loses at most ~one chunk's worth
+        # of bookkeeping (the files themselves are already on disk and the
+        # next run re-records any the manifest missed by re-encoding them).
+        if emitted % 32 == 0:
+            persist_manifest()
+
+    try:
+        stats = stream.encode_paths(todo, config, local_mesh, emit)
+    finally:
+        persist_manifest()
 
     return DatasetResult(
-        encoded=encoded,
+        encoded=stats.encoded,
         skipped=skipped,
-        output_bytes=total_bytes,
+        output_bytes=stats.output_bytes,
         manifest_path=manifest_file,
+        pixels=stats.pixels,
+        seconds=stats.seconds,
+        decode_seconds=stats.decode_seconds,
+        write_seconds=stats.write_seconds,
     )
 
 

@@ -67,15 +67,61 @@ def _band_rows(geom: FrameGeometry, n_dev: int) -> int:
     return -(-geom.mcu_rows // n_dev)
 
 
-def _live_mcu_rows(geom: FrameGeometry, n_dev: int, idx: int) -> int:
-    return max(0, min(geom.mcu_rows - idx * _band_rows(geom, n_dev),
-                      _band_rows(geom, n_dev)))
+def _aligned_band_rows(
+    geom: FrameGeometry, n_dev: int, restart: int
+) -> int | None:
+    """Smallest restart-aligned band size that still splits the image.
+
+    Restart framing needs every NON-final band to hold a whole number of
+    intervals (an interval must not straddle a device boundary); the final
+    band may end mid-interval — it ends the image. The band size is ours
+    to choose, so instead of falling back to one device on misalignment,
+    search upward from the even split for the smallest band_rows whose
+    full band is interval-aligned. Returns None when only the degenerate
+    single-live-band split (band_rows >= mcu_rows) remains — the caller's
+    single-device fallback is then genuinely the only option.
+    """
+    for rows in range(_band_rows(geom, n_dev), geom.mcu_rows):
+        if (rows * geom.mcu_cols) % restart == 0:
+            return rows
+    return None
+
+
+def _live_mcu_rows(geom: FrameGeometry, band_rows: int, idx: int) -> int:
+    return max(0, min(geom.mcu_rows - idx * band_rows, band_rows))
+
+
+def _band_coeffs(rgb_band, band_geom, algorithm, fast_dct, bin_dct_descale,
+                 live_px_rows=None, quality=None, transposed_dct=None):
+    """One band's front half: RGB rows -> zigzag quantized coefficients.
+
+    Shared by the encode pass and the optimized-Huffman statistics pass
+    so both see identical arithmetic. live_px_rows (traced scalar) zeroes
+    plane rows at or beyond the original image height AFTER color
+    conversion — the reference's padding lives in the Y/Cb/Cr planes
+    (value 0), not in RGB space, where zero pixels would convert to
+    Cb = Cr = 128.
+    """
+    y, cb, cr = color.rgb_to_ycbcr(rgb_band)
+    if live_px_rows is not None:
+        live = (jnp.arange(rgb_band.shape[0]) < live_px_rows)[:, None]
+        y = jnp.where(live, y, 0)
+        cb = jnp.where(live, cb, 0)
+        cr = jnp.where(live, cr, 0)
+    y = sample.pad_plane(y, band_geom)
+    cb = sample.subsample_plane(sample.pad_plane(cb, band_geom), band_geom)
+    cr = sample.subsample_plane(sample.pad_plane(cr, band_geom), band_geom)
+    y_q, cb_q, cr_q, _ = pipeline.dct_planes_zigzag(
+        y, cb, cr,
+        algorithm, fast_dct, bin_dct_descale, quality, transposed_dct,
+    )
+    return y_q, cb_q, cr_q
 
 
 def _encode_band(rgb_band, band_geom, algorithm, capacity, fast_dct,
                  bin_dct_descale, init_dc, live_entries=None,
                  packer="xla", live_px_rows=None, quality=None,
-                 transposed_dct=None, restart=None):
+                 transposed_dct=None, restart=None, luts=None):
     """One band's full compute: planes -> coefficients -> packed bits.
 
     Shared between the shard_map program and the single-band overflow
@@ -101,27 +147,21 @@ def _encode_band(rgb_band, band_geom, algorithm, capacity, fast_dct,
     — and the returns become ((n_int, capacity) payloads, (n_int,) bits,
     zero predictors). `capacity` is then PER INTERVAL.
 
+    `luts` = (dc, ac) traced (2, 256) packed tables routes every band
+    through the per-image optimized codes (the cross-band table-agreement
+    mode; all bands share ONE table set built from the psum'd statistics).
+
     Returns (payload, bits, init_dc_resolved).
     """
-    y, cb, cr = color.rgb_to_ycbcr(rgb_band)
-    if live_px_rows is not None:
-        live = (jnp.arange(rgb_band.shape[0]) < live_px_rows)[:, None]
-        y = jnp.where(live, y, 0)
-        cb = jnp.where(live, cb, 0)
-        cr = jnp.where(live, cr, 0)
-    y = sample.pad_plane(y, band_geom)
-    cb = sample.subsample_plane(sample.pad_plane(cb, band_geom), band_geom)
-    cr = sample.subsample_plane(sample.pad_plane(cr, band_geom), band_geom)
-
-    y_q, cb_q, cr_q, _ = pipeline.dct_planes_zigzag(
-        y, cb, cr,
-        algorithm, fast_dct, bin_dct_descale, quality, transposed_dct,
+    y_q, cb_q, cr_q = _band_coeffs(
+        rgb_band, band_geom, algorithm, fast_dct, bin_dct_descale,
+        live_px_rows, quality, transposed_dct,
     )
     if restart is not None:
         payloads, bits = entropy.encode_scan_restart(
             y_q, cb_q, cr_q, band_geom, capacity, restart,
             coeffs_zigzagged=True, packer=packer,
-            live_entries=live_entries,
+            live_entries=live_entries, luts=luts,
         )
         return payloads, bits, jnp.zeros((3,), jnp.int32)
     if callable(init_dc):
@@ -131,6 +171,7 @@ def _encode_band(rgb_band, band_geom, algorithm, capacity, fast_dct,
     payload, bits = entropy.encode_scan(
         y_q, cb_q, cr_q, band_geom, capacity, init_dc=init_dc,
         live_entries=live_entries, packer=packer, coeffs_zigzagged=True,
+        luts=luts,
     )
     return payload, bits, init_dc
 
@@ -147,6 +188,8 @@ def compiled_tiled_encoder(
     replicate_out: bool = False,
     transposed_dct: bool | None = None,
     restart: int | None = None,
+    band_rows: int | None = None,
+    custom_luts: bool = False,
 ):
     """Jitted (n_dev * band_h, W, 3) -> ((n_dev, cap) payloads,
     (n_dev,) bit lengths, (n_dev, 3) per-band initial DC predictors).
@@ -161,19 +204,30 @@ def compiled_tiled_encoder(
     payload/bits outputs gain an interval axis ((n_dev, n_int, cap),
     (n_dev, n_int)), the DC ppermute disappears (predictors reset at each
     interval), and host assembly is marker concatenation instead of
-    bit-level splicing."""
+    bit-level splicing.
+
+    band_rows overrides the even ceil(mcu_rows / n_dev) split — the
+    restart mode passes a larger interval-aligned band when the even one
+    would put an interval across a device boundary (_aligned_band_rows);
+    trailing devices then carry fully dead bands, which emit nothing.
+
+    custom_luts=True makes the jitted fn take (rgb, dc_lut, ac_lut): the
+    (2, 256) packed tables are replicated traced operands and every band
+    codes with them (the optimized-Huffman tiled mode; tables come from
+    the psum'd statistics pass, compiled_tiled_stats)."""
     n_dev = mesh.devices.size
-    band_rows = _band_rows(geom, n_dev)
+    if band_rows is None:
+        band_rows = _band_rows(geom, n_dev)
     band_h = band_rows * 8 * geom.v_factor
     band_geom = _band_geometry(geom, band_h)
-    uneven = geom.mcu_rows % n_dev != 0
+    uneven = band_rows * n_dev != geom.mcu_rows
     entries_per_mcu_row = geom.mcu_cols * geom.blocks_per_mcu
     if restart is not None:
         packer = pipeline.restart_packer(band_geom, restart, capacity)
     else:
         packer = pipeline.default_packer(capacity)
 
-    def shard_fn(rgb_band):  # (band_h, W, 3) uint8
+    def shard_fn(rgb_band, *luts):  # (band_h, W, 3) uint8
         idx = jax.lax.axis_index(DATA_AXIS)
         # Rows at or beyond the original image height are zero in the
         # reference's planes (the host hands us arbitrary padding content).
@@ -198,7 +252,7 @@ def compiled_tiled_encoder(
         payload, bits, prev = _encode_band(
             rgb_band, band_geom, algorithm, capacity, fast_dct,
             bin_dct_descale, chain, live_entries, packer, live_px_rows,
-            quality, transposed_dct, restart,
+            quality, transposed_dct, restart, luts or None,
         )
         return payload[None], bits[None], prev[None]
 
@@ -209,10 +263,13 @@ def compiled_tiled_encoder(
     bits_spec = (
         P(DATA_AXIS, None) if restart is not None else P(DATA_AXIS)
     )
+    in_specs = P(DATA_AXIS, None, None)
+    if custom_luts:
+        in_specs = (in_specs, P(None, None), P(None, None))
     sharded = shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=P(DATA_AXIS, None, None),
+        in_specs=in_specs,
         out_specs=(payload_spec, bits_spec, P(DATA_AXIS, None)),
         # Pallas outputs don't carry vma metadata; every kernel here is
         # shard-local, so the varying-mesh-axes check adds nothing.
@@ -225,6 +282,73 @@ def compiled_tiled_encoder(
 
 
 @functools.lru_cache(maxsize=32)
+def compiled_tiled_stats(
+    mesh: Mesh,
+    geom: FrameGeometry,
+    algorithm: DctAlgorithm,
+    fast_dct: bool = False,
+    bin_dct_descale: bool = False,
+    quality: int | None = None,
+    transposed_dct: bool | None = None,
+    restart: int | None = None,
+    band_rows: int | None = None,
+):
+    """Jitted (n_dev * band_h, W, 3) -> (4, 256) whole-scan symbol counts.
+
+    The statistics pass of the tiled optimized-Huffman mode: each band
+    histograms its own scan slice — with DC predictor chains seeded from
+    its ppermuted predecessors (or per-interval resets under restart
+    framing) and uneven-band padding masked out — and one psum over the
+    band axis (4x256 ints riding ICI) yields the whole scan's counts,
+    replicated so the host can build ONE table set for every band.
+    """
+    n_dev = mesh.devices.size
+    if band_rows is None:
+        band_rows = _band_rows(geom, n_dev)
+    band_h = band_rows * 8 * geom.v_factor
+    band_geom = _band_geometry(geom, band_h)
+    uneven = band_rows * n_dev != geom.mcu_rows
+    entries_per_mcu_row = geom.mcu_cols * geom.blocks_per_mcu
+
+    def shard_fn(rgb_band):
+        idx = jax.lax.axis_index(DATA_AXIS)
+        live_px_rows = jnp.clip(geom.height - idx * band_h, 0, band_h)
+        if uneven:
+            live_mcu = jnp.clip(
+                geom.mcu_rows - idx * band_rows, 0, band_rows
+            ).astype(jnp.int32)
+            live_entries = live_mcu * entries_per_mcu_row
+        else:
+            live_entries = None
+        y_q, cb_q, cr_q = _band_coeffs(
+            rgb_band, band_geom, algorithm, fast_dct, bin_dct_descale,
+            live_px_rows, quality, transposed_dct,
+        )
+        if restart is None:
+            init_dc = jax.lax.ppermute(
+                entropy.final_dc(y_q, cb_q, cr_q, band_geom),
+                DATA_AXIS, [(i, i + 1) for i in range(n_dev - 1)],
+            )
+        else:
+            init_dc = None  # interval framing resets the predictors
+        hist = entropy.symbol_histograms(
+            y_q, cb_q, cr_q, band_geom, coeffs_zigzagged=True,
+            restart_mcus=restart, init_dc=init_dc,
+            live_entries=live_entries,
+        )
+        return jax.lax.psum(hist, DATA_AXIS)
+
+    sharded = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=P(DATA_AXIS, None, None),
+        out_specs=P(None, None),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+@functools.lru_cache(maxsize=32)
 def compiled_band_encoder(
     band_geom: FrameGeometry,
     algorithm: DctAlgorithm,
@@ -233,6 +357,7 @@ def compiled_band_encoder(
     bin_dct_descale: bool = False,
     quality: int | None = None,
     transposed_dct: bool | None = None,
+    custom_luts: bool = False,
 ):
     """Jitted single-band re-encode for overflow retry: (band_h, W, 3) uint8
     + (3,) int32 init_dc -> ((capacity,) payload, bits). Runs the exact
@@ -240,16 +365,17 @@ def compiled_band_encoder(
     (the live scan prefix of a padded band equals the scan of the live-row
     geometry), so the retried payload is byte-identical."""
 
-    def fn(rgb_band, init_dc, live_px_rows):
+    def fn(rgb_band, init_dc, live_px_rows, *luts):
         payload, bits, _ = _encode_band(
             rgb_band, band_geom, algorithm, capacity, fast_dct,
             bin_dct_descale, init_dc,
             packer=pipeline.default_packer(capacity),
             live_px_rows=live_px_rows, quality=quality,
-            transposed_dct=transposed_dct,
+            transposed_dct=transposed_dct, luts=luts or None,
         )
         return payload, bits
 
+    del custom_luts  # part of the cache key; fn adapts to *luts itself
     return jax.jit(fn)
 
 
@@ -277,19 +403,15 @@ def encode_tiled(
     encode: every interval's DC predictors reset, so the ppermute DC
     exchange disappears, and assembly is byte-aligned marker
     concatenation (io/jfif.assemble_restart) instead of bit-level
-    splicing. Requires the interval to divide the band MCU count (so no
-    interval straddles a device boundary); other combinations fall back
-    to the single-device restart encode with a warning.
+    splicing. Non-final bands must hold whole intervals (no interval may
+    straddle a device boundary); when the even split misaligns, the band
+    size is re-chosen as the smallest aligned one (_aligned_band_rows),
+    and only geometries with NO aligned multi-band split fall back to the
+    single-device restart encode with a warning.
     """
     height, width = rgb.shape[:2]
     geom = config.geometry(width, height)
     n_dev = mesh.devices.size
-    if config.optimize_huffman:
-        raise ValueError(
-            "optimized Huffman tables are not supported with band tiling "
-            "(band-local statistics would need a cross-band table "
-            "agreement pass); encode without --tile-bands"
-        )
     if config.restart_interval is not None:
         # Raise the clear restart-vs-quirk-geometry error here rather
         # than warning about tiling first and raising from the fallback.
@@ -314,15 +436,25 @@ def encode_tiled(
     if restart is not None and live_bands > 1 and (
         (band_rows * geom.mcu_cols) % restart != 0
     ):
-        warnings.warn(
-            f"restart interval {restart} does not divide the "
-            f"{band_rows * geom.mcu_cols}-MCU band of a {n_dev}-device "
-            "mesh (an interval would straddle a device boundary); "
-            "falling back to a single-device restart encode",
-            RuntimeWarning,
-            stacklevel=2,
-        )
-        return pipeline.encode_array(rgb, config)
+        # The even split puts an interval across a device boundary, but
+        # the band size is ours to choose: take the smallest aligned
+        # band_rows instead (trailing devices go dead but the mesh stays
+        # busy). Only when NO aligned multi-band split exists does the
+        # n-chip -> 1-chip fallback fire.
+        aligned = _aligned_band_rows(geom, n_dev, restart)
+        if aligned is not None and -(-geom.mcu_rows // aligned) > 1:
+            band_rows = aligned
+        else:
+            warnings.warn(
+                f"restart interval {restart} admits no band split of the "
+                f"{geom.mcu_rows}x{geom.mcu_cols}-MCU grid over the "
+                f"{n_dev}-device mesh (every candidate band would put an "
+                "interval across a device boundary); falling back to a "
+                "single-device restart encode",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            return pipeline.encode_array(rgb, config)
     band_h = band_rows * 8 * geom.v_factor
     total_h = band_h * n_dev  # >= geom.padded_height; extra rows stay zero
     padded = np.zeros((total_h, width, 3), np.uint8)
@@ -351,12 +483,35 @@ def encode_tiled(
         )
     else:
         device_rgb = jnp.asarray(padded)
-    encoder = compiled_tiled_encoder(
-        mesh, geom, config.dct_algorithm, capacity, config.fast_dct,
-        config.bin_dct_descale, config.quality, replicate_out=multi,
-        transposed_dct=config.transposed_dct, restart=restart,
-    )
-    payloads, bit_lengths, init_dcs = encoder(device_rgb)
+    if config.optimize_huffman:
+        # Cross-band table agreement: every band's statistics psum into
+        # one whole-scan histogram (4x256 ints over ICI), the host builds
+        # ONE optimal table set, and every band codes with it — so the
+        # tiled optimized file equals the single-device optimized file.
+        hist = np.asarray(compiled_tiled_stats(
+            mesh, geom, config.dct_algorithm, config.fast_dct,
+            config.bin_dct_descale, config.quality, config.transposed_dct,
+            restart, band_rows,
+        )(device_rgb))
+        dht_specs, dc_lut, ac_lut = pipeline.optimal_specs_and_luts(hist)
+        luts = (dc_lut, ac_lut)
+        encoder = compiled_tiled_encoder(
+            mesh, geom, config.dct_algorithm, capacity, config.fast_dct,
+            config.bin_dct_descale, config.quality, replicate_out=multi,
+            transposed_dct=config.transposed_dct, restart=restart,
+            band_rows=band_rows, custom_luts=True,
+        )
+        payloads, bit_lengths, init_dcs = encoder(device_rgb, dc_lut, ac_lut)
+    else:
+        dht_specs = None
+        luts = None
+        encoder = compiled_tiled_encoder(
+            mesh, geom, config.dct_algorithm, capacity, config.fast_dct,
+            config.bin_dct_descale, config.quality, replicate_out=multi,
+            transposed_dct=config.transposed_dct, restart=restart,
+            band_rows=band_rows,
+        )
+        payloads, bit_lengths, init_dcs = encoder(device_rgb)
     bit_lengths = np.asarray(bit_lengths)
     # Device-side prefix slice before the fetch: the capacity rectangle
     # is ~5x the real payloads and the device->host transfer dominates
@@ -367,7 +522,8 @@ def encode_tiled(
 
     if restart is not None:
         return _assemble_tiled_restart(
-            padded, geom, config, n_dev, capacity, payloads, bit_lengths
+            padded, geom, config, n_dev, capacity, payloads, bit_lengths,
+            band_rows, dht_specs=dht_specs, luts=luts,
         )
 
     chunks = []
@@ -380,12 +536,16 @@ def encode_tiled(
         # it (with the init_dc the mesh program handed it) at larger
         # capacities — never the whole image.
         chunks.append(
-            _retry_band(padded, geom, config, n_dev, i, capacity, init_dcs[i])
+            _retry_band(
+                padded, geom, config, n_dev, i, capacity, init_dcs[i], luts
+            )
         )
 
     spliced, total_bits = splice_bitstreams(chunks)
     return pipeline.EncodeResult(
-        file_bytes=jfif.assemble(geom, spliced, quality=config.quality),
+        file_bytes=jfif.assemble(
+            geom, spliced, quality=config.quality, dht_specs=dht_specs
+        ),
         entropy_payload=spliced,
         bit_length=total_bits,
         geom=geom,
@@ -400,6 +560,9 @@ def _assemble_tiled_restart(
     capacity: int,
     payloads: np.ndarray,      # (n_dev, n_int, <= capacity) byte prefixes
     bit_lengths: np.ndarray,   # (n_dev, n_int)
+    band_rows: int,
+    dht_specs: tuple | None = None,
+    luts: tuple | None = None,
 ) -> pipeline.EncodeResult:
     """Band-tiled restart assembly: interval concatenation, no splicing.
 
@@ -414,13 +577,13 @@ def _assemble_tiled_restart(
     segments: list[np.ndarray] = []
     bits_list: list[int] = []
     for i in range(n_dev):
-        live_mcus = _live_mcu_rows(geom, n_dev, i) * geom.mcu_cols
+        live_mcus = _live_mcu_rows(geom, band_rows, i) * geom.mcu_cols
         n_live = -(-live_mcus // restart)
         if n_live == 0:
             continue
         if int(bit_lengths[i, :n_live].max()) > 8 * capacity:
             band_segments = _retry_band_restart(
-                padded, geom, config, n_dev, i, capacity
+                padded, geom, config, band_rows, i, capacity, luts
             )
         else:
             band_segments = [
@@ -431,7 +594,8 @@ def _assemble_tiled_restart(
             segments.append(payload)
             bits_list.append(bits)
     return pipeline.restart_result(
-        geom, segments, bits_list, restart, config.quality
+        geom, segments, bits_list, restart, config.quality,
+        dht_specs=dht_specs,
     )
 
 
@@ -439,15 +603,15 @@ def _retry_band_restart(
     padded: np.ndarray,
     geom: FrameGeometry,
     config: EncoderConfig,
-    n_dev: int,
+    band_rows: int,
     idx: int,
     capacity: int,
+    luts: tuple | None = None,
 ) -> list[tuple[np.ndarray, int]]:
     """Re-encode band `idx`'s restart intervals at larger capacities."""
     restart = config.restart_interval
-    band_rows = _band_rows(geom, n_dev)
     band_h = band_rows * 8 * geom.v_factor
-    live_rows = _live_mcu_rows(geom, n_dev, idx)
+    live_rows = _live_mcu_rows(geom, band_rows, idx)
     live_geom = _band_geometry(geom, live_rows * 8 * geom.v_factor)
     band_rgb = jnp.asarray(
         padded[idx * band_h : idx * band_h + live_geom.padded_height]
@@ -467,11 +631,15 @@ def _retry_band_restart(
         capacity = pipeline.restart_next_capacity_bytes(
             live_geom, restart, capacity
         )
-        payloads, bits = compiled_band_restart_encoder(
+        enc = compiled_band_restart_encoder(
             live_geom, config.dct_algorithm, capacity, restart,
             config.fast_dct, config.bin_dct_descale, config.quality,
-            config.transposed_dct,
-        )(band_rgb, live_px)
+            config.transposed_dct, custom_luts=luts is not None,
+        )
+        payloads, bits = (
+            enc(band_rgb, live_px, *luts) if luts is not None
+            else enc(band_rgb, live_px)
+        )
         bits = np.asarray(bits)
         if int(bits[:n_live].max()) <= 8 * capacity:
             max_bytes = (int(bits[:n_live].max()) + 7) // 8
@@ -489,19 +657,22 @@ def compiled_band_restart_encoder(
     bin_dct_descale: bool = False,
     quality: int | None = None,
     transposed_dct: bool | None = None,
+    custom_luts: bool = False,
 ):
     """Jitted single-band restart re-encode for overflow retry."""
 
-    def fn(rgb_band, live_px_rows):
+    def fn(rgb_band, live_px_rows, *luts):
         payloads, bits, _ = _encode_band(
             rgb_band, band_geom, algorithm, capacity, fast_dct,
             bin_dct_descale, None,
             packer=pipeline.restart_packer(band_geom, restart, capacity),
             live_px_rows=live_px_rows, quality=quality,
             transposed_dct=transposed_dct, restart=restart,
+            luts=luts or None,
         )
         return payloads, bits
 
+    del custom_luts  # part of the cache key; fn adapts to *luts itself
     return jax.jit(fn)
 
 
@@ -513,11 +684,12 @@ def _retry_band(
     idx: int,
     capacity: int,
     init_dc: np.ndarray,
+    luts: tuple | None = None,
 ) -> tuple[np.ndarray, int]:
     """Re-encode band `idx` alone, walking the capacity ladder upward."""
     band_rows = _band_rows(geom, n_dev)
     band_h = band_rows * 8 * geom.v_factor
-    live_rows = _live_mcu_rows(geom, n_dev, idx)
+    live_rows = _live_mcu_rows(geom, band_rows, idx)
     live_geom = _band_geometry(geom, live_rows * 8 * geom.v_factor)
     band_rgb = jnp.asarray(
         padded[idx * band_h : idx * band_h + live_geom.padded_height]
@@ -533,10 +705,15 @@ def _retry_band(
                 "entropy packer invariant violated"
             )
         capacity = pipeline.next_capacity_bytes(live_geom, capacity)
-        payload, bits = compiled_band_encoder(
+        enc = compiled_band_encoder(
             live_geom, config.dct_algorithm, capacity, config.fast_dct,
             config.bin_dct_descale, config.quality, config.transposed_dct,
-        )(band_rgb, init, live_px)
+            custom_luts=luts is not None,
+        )
+        payload, bits = (
+            enc(band_rgb, init, live_px, *luts) if luts is not None
+            else enc(band_rgb, init, live_px)
+        )
         bits = int(bits)
         if bits <= 8 * capacity:
             return np.asarray(payload[: (bits + 7) // 8]), bits

@@ -211,7 +211,6 @@ def encode_core(
     algorithm: DctAlgorithm,
     capacity_bytes: int,
     fast_dct: bool = False,
-    use_pallas: bool = False,
     validate: bool = False,
     with_coeffs: bool = True,
     bin_dct_descale: bool = False,
@@ -225,6 +224,11 @@ def encode_core(
     into its constants) feeding the scan encoder gather-free; coefficient
     outputs are un-permuted to natural order, and with_coeffs=False drops
     them so callers that only want the bitstream skip that work.
+
+    One kernel generation owns the TPU path: dct_planes_zigzag (the
+    transposed-layout 3-plane kernels). The legacy per-plane (N, 64)
+    kernels survive in kernels/dct_pallas.py as test-only verification
+    tiers (tests/test_kernels.py), like pack_pallas.
     """
     y, cb, cr = color.rgb_to_ycbcr(rgb)
     y = sample.pad_plane(y, geom)
@@ -232,40 +236,19 @@ def encode_core(
     cr = sample.subsample_plane(sample.pad_plane(cr, geom), geom)
 
     packer = default_packer(capacity_bytes)
-    if bin_dct_descale and algorithm == DctAlgorithm.BIN_DCT:
-        # use_pallas selects the legacy per-plane (N, 64) kernels, which
-        # implement only the bug-parity quant; the descale variant lives in
-        # the (default) transposed 3-plane kernel dct_planes_zigzag picks.
-        use_pallas = False
-    if use_pallas:
-        from jpeg_encoder_tpu.kernels import dct_pallas
-
-        interpret = jax.default_backend() != "tpu"
-        if algorithm == DctAlgorithm.REAL_DCT:
-            kernel = dct_pallas.real_dct_quant_zigzag_pallas
-        else:
-            kernel = dct_pallas.bin_dct_quant_zigzag_pallas
-        y_z = kernel(sample.blockify(y), True, interpret, quality=quality)
-        cb_z = kernel(sample.blockify(cb), False, interpret, quality=quality)
-        cr_z = kernel(sample.blockify(cr), False, interpret, quality=quality)
-        payload, total_bits = entropy.encode_scan(
-            y_z, cb_z, cr_z, geom, capacity_bytes, coeffs_zigzagged=True,
-            packer=packer,
-        )
-    else:
-        # zigzag_out folds the scan permutation into the DCT constants, so
-        # the scan encoder skips its lane gather; returned coefficients are
-        # un-permuted below either way. All three planes run through one
-        # transform chain with a per-row quant-table select (bit-identical
-        # to per-plane calls, one fusion instead of three).
-        y_z, cb_z, cr_z, _ = dct_planes_zigzag(
-            y, cb, cr,
-            algorithm, fast_dct, bin_dct_descale, quality, transposed_dct,
-        )
-        payload, total_bits = entropy.encode_scan(
-            y_z, cb_z, cr_z, geom, capacity_bytes, coeffs_zigzagged=True,
-            packer=packer,
-        )
+    # zigzag_out folds the scan permutation into the DCT constants, so
+    # the scan encoder skips its lane gather; returned coefficients are
+    # un-permuted below either way. All three planes run through one
+    # transform chain with a per-row quant-table select (bit-identical
+    # to per-plane calls, one fusion instead of three).
+    y_z, cb_z, cr_z, _ = dct_planes_zigzag(
+        y, cb, cr,
+        algorithm, fast_dct, bin_dct_descale, quality, transposed_dct,
+    )
+    payload, total_bits = entropy.encode_scan(
+        y_z, cb_z, cr_z, geom, capacity_bytes, coeffs_zigzagged=True,
+        packer=packer,
+    )
     result = {"payload": payload, "total_bits": total_bits}
     if with_coeffs:
         inv_zz = jnp.asarray(np.argsort(tables.ZIGZAG_ORDER))
@@ -287,7 +270,6 @@ def compiled_encoder(
     algorithm: DctAlgorithm,
     capacity_bytes: int,
     fast_dct: bool = False,
-    use_pallas: bool = False,
     validate: bool = False,
     with_coeffs: bool = False,
     bin_dct_descale: bool = False,
@@ -306,7 +288,7 @@ def compiled_encoder(
 
     def fn(rgb: jnp.ndarray) -> dict[str, jnp.ndarray]:
         return encode_core(
-            rgb, geom, algorithm, capacity_bytes, fast_dct, use_pallas,
+            rgb, geom, algorithm, capacity_bytes, fast_dct,
             validate, with_coeffs, bin_dct_descale, quality, transposed_dct,
         )
 
@@ -317,7 +299,7 @@ def compiled_encoder(
         )
         key = (
             "encode_core", geom, algorithm.value, capacity_bytes, fast_dct,
-            use_pallas, validate, with_coeffs, bin_dct_descale, quality,
+            validate, with_coeffs, bin_dct_descale, quality,
             transposed_dct,
         )
         loaded = aot_cache.get_or_build(key, jitted, spec)
@@ -419,6 +401,32 @@ def _planes_zigzag(rgb, geom, algorithm, fast_dct, bin_dct_descale,
     return y_z, cb_z, cr_z
 
 
+def stats_core(
+    rgb: jnp.ndarray,
+    geom: FrameGeometry,
+    algorithm: DctAlgorithm,
+    fast_dct: bool = False,
+    bin_dct_descale: bool = False,
+    quality: int | None = None,
+    transposed_dct: bool | None = None,
+    restart_mcus: int | None = None,
+) -> jnp.ndarray:
+    """Statistics pass body: rgb -> (4, 256) Huffman symbol counts.
+
+    Pure and vmap/shard_map-compatible (the batched optimize path maps it
+    over the image axis). restart_mcus must match the encode pass's
+    framing (interval DC resets change the DC categories the tables must
+    cover)."""
+    y_z, cb_z, cr_z = _planes_zigzag(
+        rgb, geom, algorithm, fast_dct, bin_dct_descale, quality,
+        transposed_dct,
+    )
+    return entropy.symbol_histograms(
+        y_z, cb_z, cr_z, geom, coeffs_zigzagged=True,
+        restart_mcus=restart_mcus,
+    )
+
+
 @functools.lru_cache(maxsize=64)
 def compiled_stats_encoder(
     geom: FrameGeometry,
@@ -429,22 +437,63 @@ def compiled_stats_encoder(
     transposed_dct: bool | None = None,
     restart_mcus: int | None = None,
 ):
-    """Jitted statistics pass: rgb -> (4, 256) Huffman symbol counts.
-
-    restart_mcus must match the encode pass's framing (interval DC
-    resets change the DC categories the tables must cover)."""
+    """Jitted stats_core for one static configuration (cached)."""
 
     def fn(rgb: jnp.ndarray) -> jnp.ndarray:
-        y_z, cb_z, cr_z = _planes_zigzag(
+        return stats_core(
             rgb, geom, algorithm, fast_dct, bin_dct_descale, quality,
-            transposed_dct,
-        )
-        return entropy.symbol_histograms(
-            y_z, cb_z, cr_z, geom, coeffs_zigzagged=True,
-            restart_mcus=restart_mcus,
+            transposed_dct, restart_mcus,
         )
 
     return jax.jit(fn)
+
+
+def custom_core(
+    rgb: jnp.ndarray,
+    dc_lut: jnp.ndarray,
+    ac_lut: jnp.ndarray,
+    geom: FrameGeometry,
+    algorithm: DctAlgorithm,
+    capacity_bytes: int,
+    restart_mcus: int | None = None,
+    fast_dct: bool = False,
+    validate: bool = False,
+    bin_dct_descale: bool = False,
+    quality: int | None = None,
+    transposed_dct: bool | None = None,
+) -> dict[str, jnp.ndarray]:
+    """Encode with TRACED Huffman tables ((2, 256) packed LUT operands).
+
+    Pure and vmap/shard_map-compatible like encode_core; the fused
+    entropy kernel takes the tables as operands too (its stuffed row
+    layout is rebuilt from them in XLA), so the TPU hot path serves every
+    per-image optimized table set with one compiled program.
+    """
+    y_z, cb_z, cr_z = _planes_zigzag(
+        rgb, geom, algorithm, fast_dct, bin_dct_descale, quality,
+        transposed_dct,
+    )
+    luts = (dc_lut, ac_lut)
+    if restart_mcus is not None:
+        payloads, bits = entropy.encode_scan_restart(
+            y_z, cb_z, cr_z, geom, capacity_bytes, restart_mcus,
+            coeffs_zigzagged=True,
+            packer=restart_packer(geom, restart_mcus, capacity_bytes),
+            luts=luts,
+        )
+        result = {"payloads": payloads, "bits": bits}
+    else:
+        payload, total_bits = entropy.encode_scan(
+            y_z, cb_z, cr_z, geom, capacity_bytes,
+            coeffs_zigzagged=True, packer=default_packer(capacity_bytes),
+            luts=luts,
+        )
+        result = {"payload": payload, "total_bits": total_bits}
+    if validate:
+        result["max_dc_diff"], result["max_ac"] = (
+            entropy.coefficient_ranges(y_z, cb_z, cr_z, geom)
+        )
+    return result
 
 
 @functools.lru_cache(maxsize=64)
@@ -459,42 +508,38 @@ def compiled_custom_encoder(
     quality: int | None = None,
     transposed_dct: bool | None = None,
 ):
-    """Jitted encode with TRACED Huffman tables: fn(rgb, dc_lut, ac_lut).
-
-    The (2, 256) packed LUTs are operands, so ONE compiled program per
-    (geometry, config) serves every per-image optimized table set.
-    """
+    """Jitted custom_core: fn(rgb, dc_lut, ac_lut) (cached)."""
 
     def fn(rgb, dc_lut, ac_lut):
-        y_z, cb_z, cr_z = _planes_zigzag(
-            rgb, geom, algorithm, fast_dct, bin_dct_descale, quality,
+        return custom_core(
+            rgb, dc_lut, ac_lut, geom, algorithm, capacity_bytes,
+            restart_mcus, fast_dct, validate, bin_dct_descale, quality,
             transposed_dct,
         )
-        luts = (dc_lut, ac_lut)
-        if restart_mcus is not None:
-            payloads, bits = entropy.encode_scan_restart(
-                y_z, cb_z, cr_z, geom, capacity_bytes, restart_mcus,
-                coeffs_zigzagged=True, packer="xla", luts=luts,
-            )
-            result = {"payloads": payloads, "bits": bits}
-        else:
-            payload, total_bits = entropy.encode_scan(
-                y_z, cb_z, cr_z, geom, capacity_bytes,
-                coeffs_zigzagged=True, packer="xla", luts=luts,
-            )
-            result = {"payload": payload, "total_bits": total_bits}
-        if validate:
-            result["max_dc_diff"], result["max_ac"] = (
-                entropy.coefficient_ranges(y_z, cb_z, cr_z, geom)
-            )
-        return result
 
     return jax.jit(fn)
 
 
 def optimal_specs_and_luts(hist: np.ndarray):
-    """(4, 256) symbol counts -> (specs 4-tuple, (dc, ac) device LUTs)."""
+    """(4, 256) symbol counts -> (specs 4-tuple, (dc, ac) device LUTs).
+
+    Asserts the fused kernel's DC-stuffing invariant: the AC tables must
+    define no codes at symbols (bl+1)<<4 (zero-run r=1..12, size 0).
+    Histograms from entropy.symbol_histograms cannot count those symbols
+    (the scan never emits them — only EOB 0x00 and ZRL 0xF0 have size 0),
+    so this only trips on hand-fabricated histograms.
+    """
     specs = tuple(tables.optimal_spec(hist[i]) for i in range(4))
+    for ac_spec in (specs[2], specs[3]):
+        for bl in range(12):
+            if ac_spec.length_lut[(bl + 1) << 4] != 0:
+                raise ValueError(
+                    "AC histogram counts symbol "
+                    f"0x{(bl + 1) << 4:02x} (zero-run with size 0), which "
+                    "no baseline JPEG scan emits — refusing to build "
+                    "tables that collide with the kernel's DC stuffing "
+                    "slots"
+                )
     dc_lut = jnp.asarray(np.stack(
         [entropy.pack_lut(specs[0]), entropy.pack_lut(specs[1])]
     ))
@@ -633,7 +678,7 @@ def encode_array(
     while True:
         out = compiled_encoder(
             geom, config.dct_algorithm, capacity, config.fast_dct,
-            config.use_pallas, config.validate, return_coeffs,
+            config.validate, return_coeffs,
             config.bin_dct_descale, config.quality, config.transposed_dct,
         )(device_rgb)
         if config.validate:

@@ -17,12 +17,12 @@ img = jax.image.resize(base, (BATCH, H, W, 3), "linear")
 noise = jax.random.uniform(jax.random.key(100), (BATCH, H, W, 3)) * 0.1
 images = ((img*0.9+noise)*255).astype(jnp.uint8)
 
-def run(use_pallas):
+def run(transposed_dct):
     @jax.jit
     def go(imgs):
         def one(rgb):
             out = pipeline.encode_core(rgb, geom, DctAlgorithm.REAL_DCT, cap,
-                                       use_pallas=use_pallas)
+                                       transposed_dct=transposed_dct)
             return out["payload"], out["total_bits"]
         return jax.vmap(one)(imgs)
     out = go(images); b = np.asarray(out[1])
@@ -30,10 +30,10 @@ def run(use_pallas):
     for _ in range(12): out = go(images)
     _ = np.asarray(out[1][0])
     dt = (time.perf_counter()-t0)/12
-    print(f"use_pallas={use_pallas}: {dt*1e3:8.2f} ms/batch "
+    print(f"transposed_dct={transposed_dct}: {dt*1e3:8.2f} ms/batch "
           f"({BATCH*H*W/dt/1e6:.1f} Mpix/s), bits={b[:2]}", file=sys.stderr)
     return b
 
-b1 = run(False)
-b2 = run(True)
+b1 = run(False)  # XLA ordered chain
+b2 = run(True)   # production transposed-layout Pallas kernel
 print("bits equal:", (b1 == b2).all(), file=sys.stderr)

@@ -45,26 +45,35 @@ def test_bindct_kernel_matches_ops(is_luma, rng):
 @pytest.mark.parametrize(
     "algorithm", [DctAlgorithm.REAL_DCT, DctAlgorithm.BIN_DCT]
 )
-def test_pipeline_use_pallas_matches_oracle(algorithm, rng):
-    """The full encode with the kernel path must equal the golden model."""
+def test_legacy_kernels_match_oracle_coefficients(algorithm, rng):
+    """The retired per-plane kernels stay a live verification tier: their
+    zigzag coefficients must equal the golden model's on every plane (the
+    production path no longer dispatches them — pipeline.encode_core runs
+    the transposed 3-plane kernels only)."""
     rgb = rng.integers(0, 256, size=(24, 40, 3), dtype=np.uint8)
     config = EncoderConfig(
-        subsampling_ratio=(4, 2, 0), dct_algorithm=algorithm, use_pallas=True
+        subsampling_ratio=(4, 2, 0), dct_algorithm=algorithm
     )
-    device = pipeline.encode_array(rgb, config)
+    geom = config.geometry(40, 24)
     golden = oracle.encode_oracle(rgb, config)
-    assert device.file_bytes == jfif.assemble(golden.geom, golden.entropy_bytes)
-
-
-@pytest.mark.slow
-def test_pipeline_use_pallas_returns_natural_order_coeffs(rng):
-    rgb = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
-    plain = EncoderConfig(subsampling_ratio=(4, 4, 4))
-    pal = EncoderConfig(subsampling_ratio=(4, 4, 4), use_pallas=True)
-    _, want = pipeline.encode_array(rgb, plain, return_coeffs=True)
-    _, got = pipeline.encode_array(rgb, pal, return_coeffs=True)
-    for w, g in zip(want, got):
-        assert np.array_equal(np.asarray(w), np.asarray(g))
+    y, cb, cr = oracle.build_padded_planes(rgb, geom)
+    cb = oracle.subsample_plane(cb, geom)
+    cr = oracle.subsample_plane(cr, geom)
+    if algorithm == DctAlgorithm.REAL_DCT:
+        kernel = dct_pallas.real_dct_quant_zigzag_pallas
+    else:
+        kernel = dct_pallas.bin_dct_quant_zigzag_pallas
+    inv_zz = np.argsort(tables.ZIGZAG_ORDER)
+    for golden_coeffs, plane, is_luma in (
+        (golden.y_coeffs, y, True),
+        (golden.cb_coeffs, cb, False),
+        (golden.cr_coeffs, cr, False),
+    ):
+        blocks = np.asarray(sample.blockify(np.asarray(plane)))
+        got = np.asarray(kernel(blocks, is_luma, interpret=True))[:, inv_zz]
+        assert np.array_equal(
+            got.astype(np.int16), golden_coeffs.reshape(-1, 64)
+        )
 
 
 @pytest.mark.parametrize("transposed", ["kernel", "xla"])

@@ -107,15 +107,36 @@ def test_optimized_batch_matches_single():
         assert files[i] == pipeline.encode_array(images[i], cfg).file_bytes
 
 
-def test_optimized_tiled_refuses():
+def test_optimized_tiled_matches_single_device():
+    """Band tiling + optimized Huffman: the cross-band table agreement
+    (per-band histograms with chained DC predictors, psum'd over ICI,
+    one table set for all bands) must reproduce the single-device
+    optimized file byte for byte — including uneven band splits."""
     from jpeg_encoder_tpu.parallel import mesh as mesh_lib
     from jpeg_encoder_tpu.parallel import tiled
 
-    with pytest.raises(ValueError, match="optimize"):
-        tiled.encode_tiled(
-            corpus.landscape(64, 64),
-            EncoderConfig(optimize_huffman=True), mesh_lib.data_mesh(2),
-        )
+    rgb = corpus.landscape(96, 64)
+    cfg = EncoderConfig(optimize_huffman=True)
+    single = pipeline.encode_array(rgb, cfg)
+    for n_dev in (2, 3, 8):  # 8 over 6 MCU rows = dead trailing bands
+        got = tiled.encode_tiled(rgb, cfg, mesh_lib.data_mesh(n_dev))
+        assert got.file_bytes == single.file_bytes, n_dev
+        assert got.bit_length == single.bit_length
+
+
+def test_optimized_tiled_restart_matches_single_device():
+    """The triple composition — band tiling + restart framing + optimized
+    Huffman — byte-identical to the single-device encode (per-interval DC
+    resets make the stats pass chain-free; tables still agree globally)."""
+    from jpeg_encoder_tpu.parallel import mesh as mesh_lib
+    from jpeg_encoder_tpu.parallel import tiled
+
+    rgb = corpus.portrait(96, 64)
+    cfg = EncoderConfig(optimize_huffman=True, restart_interval=4)
+    single = pipeline.encode_array(rgb, cfg)
+    got = tiled.encode_tiled(rgb, cfg, mesh_lib.data_mesh(2))
+    assert got.file_bytes == single.file_bytes
+    assert b"\xff\xd0" in got.file_bytes
 
 
 def test_optimized_return_coeffs_refused():
@@ -165,3 +186,97 @@ def test_cli_optimize_flag(tmp_path):
     b = _decode(opt.read_bytes())
     assert np.array_equal(a, b)
     assert opt.stat().st_size < plain.stat().st_size
+
+
+def test_custom_luts_fused_kernel_matches_xla_packer():
+    """Per-image optimized tables through the FUSED entropy kernel
+    (traced LUT operands, DC stuffing rebuilt in XLA) must be
+    byte-identical to the XLA symbolization+packer, on both the
+    homogeneous-pair (4:2:0) and mixed-pair (4:4:4) gather paths."""
+    import jax.numpy as jnp
+
+    from jpeg_encoder_tpu.ops import entropy
+
+    rgb = corpus.landscape(48, 64)
+    for ratio in ((4, 2, 0), (4, 4, 4)):
+        cfg = EncoderConfig(subsampling_ratio=ratio)
+        geom = cfg.geometry(64, 48)
+        _, coeffs = pipeline.encode_array(rgb, cfg, return_coeffs=True)
+        y, cb, cr = (jnp.asarray(c) for c in coeffs)
+        hist = np.asarray(pipeline.compiled_stats_encoder(
+            geom, cfg.dct_algorithm
+        )(jnp.asarray(rgb)))
+        _, dc_lut, ac_lut = pipeline.optimal_specs_and_luts(hist)
+        cap = 16384
+        px, bx = entropy.encode_scan(
+            y, cb, cr, geom, cap, packer="xla", luts=(dc_lut, ac_lut)
+        )
+        pf, bf = entropy.encode_scan(
+            y, cb, cr, geom, cap, packer="fused_interpret",
+            luts=(dc_lut, ac_lut),
+        )
+        assert int(bx) == int(bf), ratio
+        nb = (int(bx) + 7) // 8
+        assert np.array_equal(np.asarray(px[:nb]), np.asarray(pf[:nb])), ratio
+
+
+@pytest.mark.slow
+def test_custom_luts_fused_restart_matches_xla():
+    import jax.numpy as jnp
+
+    from jpeg_encoder_tpu.ops import entropy
+
+    rgb = corpus.portrait(48, 64)
+    cfg = EncoderConfig(restart_interval=3)
+    geom = cfg.geometry(64, 48)
+    base = EncoderConfig()
+    _, coeffs = pipeline.encode_array(rgb, base, return_coeffs=True)
+    y, cb, cr = (jnp.asarray(c) for c in coeffs)
+    hist = np.asarray(pipeline.compiled_stats_encoder(
+        geom, cfg.dct_algorithm, restart_mcus=3
+    )(jnp.asarray(rgb)))
+    _, dc_lut, ac_lut = pipeline.optimal_specs_and_luts(hist)
+    cap = 16384
+    px, bx = entropy.encode_scan_restart(
+        y, cb, cr, geom, cap, 3, packer="xla", luts=(dc_lut, ac_lut)
+    )
+    pf, bf = entropy.encode_scan_restart(
+        y, cb, cr, geom, cap, 3, packer="fused_interpret",
+        luts=(dc_lut, ac_lut),
+    )
+    assert np.array_equal(np.asarray(bx), np.asarray(bf))
+    for j in range(np.asarray(bx).size):
+        nb = (int(np.asarray(bx)[j]) + 7) // 8
+        assert np.array_equal(
+            np.asarray(px[j, :nb]), np.asarray(pf[j, :nb])
+        ), j
+
+
+def test_optimized_batch_chunked_matches_single(monkeypatch):
+    """Batched optimize across several chunks (forced tiny), including
+    padding rows, must reproduce the single-image optimized encodes."""
+    from jpeg_encoder_tpu.parallel import batch as batch_lib
+    from jpeg_encoder_tpu.parallel import mesh as mesh_lib
+
+    monkeypatch.setattr(batch_lib, "CHUNK_INPUT_BUDGET", 48 * 64 * 3)
+    images = np.stack(
+        [corpus.landscape(48, 64, seed=s) for s in (7, 8, 9)]
+    )
+    cfg = EncoderConfig(optimize_huffman=True)
+    files = batch_lib.encode_batch(images, cfg, mesh_lib.data_mesh(2))
+    assert len(files) == 3
+    for i in range(3):
+        assert files[i] == pipeline.encode_array(images[i], cfg).file_bytes
+
+
+def test_optimized_batch_restart_matches_single():
+    from jpeg_encoder_tpu.parallel import batch as batch_lib
+    from jpeg_encoder_tpu.parallel import mesh as mesh_lib
+
+    images = np.stack(
+        [corpus.foliage(48, 64, seed=s) for s in (3, 4)]
+    )
+    cfg = EncoderConfig(optimize_huffman=True, restart_interval=2)
+    files = batch_lib.encode_batch(images, cfg, mesh_lib.data_mesh(2))
+    for i in range(2):
+        assert files[i] == pipeline.encode_array(images[i], cfg).file_bytes

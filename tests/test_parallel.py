@@ -273,3 +273,109 @@ def test_encode_dataset_manifest_and_resume(tmp_path, rng):
 
     want = pipeline.encode_array(bmp.read(paths[0]), config).file_bytes
     assert (out / "img0.jpeg").read_bytes() == want
+
+
+def test_chunk_size_images_bounds():
+    """The per-dispatch cap honors the per-device input budget (>= 1
+    image/device, mesh-multiple, bounded bytes for big geometries)."""
+    cfg = EncoderConfig()
+    g4k = cfg.geometry(3840, 2160)
+    n = batch.chunk_size_images(g4k, 8)
+    assert n % 8 == 0
+    per_dev = n // 8
+    assert 1 <= per_dev <= batch.MAX_IMAGES_PER_DEVICE
+    if per_dev > 1:
+        assert per_dev * 3840 * 2160 * 3 <= batch.CHUNK_INPUT_BUDGET
+    # Tiny geometry: the image-count cap applies, not the byte budget.
+    tiny = cfg.geometry(16, 16)
+    assert batch.chunk_size_images(tiny, 8) == 8 * batch.MAX_IMAGES_PER_DEVICE
+
+
+def test_batch_encode_chunked_dispatch_matches_single(mesh8, rng, monkeypatch):
+    """With the chunk cap forced tiny, a 10-image batch runs as several
+    bounded dispatches and still reproduces the per-image encodes."""
+    monkeypatch.setattr(batch, "CHUNK_INPUT_BUDGET", 24 * 32 * 3)  # 1/dev
+    dispatches = []
+    real_dispatch = batch.dispatch_chunk
+
+    def counting_dispatch(images, *a, **k):
+        dispatches.append(images.shape[0])
+        return real_dispatch(images, *a, **k)
+
+    monkeypatch.setattr(batch, "dispatch_chunk", counting_dispatch)
+    images = rng.integers(0, 256, size=(10, 24, 32, 3), dtype=np.uint8)
+    config = EncoderConfig(subsampling_ratio=(4, 2, 0))
+    files = batch.encode_batch(images, config, mesh8)
+    assert len(files) == 10
+    assert len(dispatches) == 2          # chunk = 8 -> 8 + 2(padded to 8)
+    assert all(d <= 8 for d in dispatches)
+    for i in range(10):
+        single = pipeline.encode_array(images[i], config)
+        assert files[i] == single.file_bytes
+
+
+def test_shard_to_devices_places_slices(mesh8, rng):
+    """Every device must hold exactly its own batch slice (the H2D path
+    must never stage the whole batch through one device)."""
+    images = rng.integers(0, 256, size=(8, 16, 16, 3), dtype=np.uint8)
+    arr = batch.shard_to_devices(images, mesh8)
+    assert arr.shape == images.shape
+    for shard in arr.addressable_shards:
+        assert shard.data.shape[0] == 1  # one image per device
+        i = shard.index[0].start or 0
+        assert np.array_equal(np.asarray(shard.data)[0], images[i])
+
+
+def test_stream_encode_paths_matches_single(tmp_path, rng, monkeypatch):
+    """The overlapped decode|compute|write engine must emit byte-identical
+    files, across mixed dimension groups and multiple chunks."""
+    from jpeg_encoder_tpu.io import bmp
+    from jpeg_encoder_tpu.parallel import stream
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = mesh_lib.data_mesh(8)
+    monkeypatch.setattr(batch, "CHUNK_INPUT_BUDGET", 24 * 32 * 3)
+    paths = []
+    expected = {}
+    config = EncoderConfig(subsampling_ratio=(4, 2, 0))
+    for i in range(9):
+        shape = (24, 32, 3) if i % 3 else (16, 24, 3)
+        rgb = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        p = str(tmp_path / f"img{i:02d}.bmp")
+        bmp.write(p, rgb)
+        paths.append(p)
+        expected[p] = pipeline.encode_array(rgb, config).file_bytes
+
+    got = {}
+    stats = stream.encode_paths(paths, config, mesh, got.__setitem__)
+    assert stats.encoded == 9
+    assert got == expected
+    assert stats.pixels == sum(
+        24 * 32 if i % 3 else 16 * 24 for i in range(9)
+    )
+    assert stats.output_bytes == sum(len(v) for v in expected.values())
+
+
+def test_stream_encode_paths_propagates_writer_errors(tmp_path, rng):
+    """An emit() failure must surface as the caller's exception (no hang,
+    no silent success)."""
+    from jpeg_encoder_tpu.io import bmp
+    from jpeg_encoder_tpu.parallel import stream
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = mesh_lib.data_mesh(8)
+    config = EncoderConfig(subsampling_ratio=(4, 2, 0))
+    paths = []
+    for i in range(3):
+        rgb = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+        p = str(tmp_path / f"e{i}.bmp")
+        bmp.write(p, rgb)
+        paths.append(p)
+
+    def bad_emit(path, data):
+        raise OSError("disk full (simulated)")
+
+    with pytest.raises(OSError, match="disk full"):
+        stream.encode_paths(paths, config, mesh, bad_emit)

@@ -146,15 +146,19 @@ def test_batch_and_tiled_quality_match_single(rng):
 @pytest.mark.slow
 def test_pallas_dct_quality_parity(rng):
     """The Pallas DCT kernels bake the scaled tables into their constants;
-    interpret mode must match the ops path bit-for-bit at any quality."""
-    rgb = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
-    cfg_ops = EncoderConfig(subsampling_ratio=(4, 4, 4), quality=35)
-    cfg_pal = EncoderConfig(
-        subsampling_ratio=(4, 4, 4), quality=35, use_pallas=True
-    )
-    a = pipeline.encode_array(rgb, cfg_ops)
-    b = pipeline.encode_array(rgb, cfg_pal)
-    assert a.file_bytes == b.file_bytes
+    the legacy per-plane verification kernel must match the production
+    path's coefficients bit-for-bit at any quality."""
+    from jpeg_encoder_tpu.kernels import dct_pallas
+
+    blocks = rng.integers(0, 256, size=(70, 64), dtype=np.uint8)
+    for is_luma in (True, False):
+        legacy = np.asarray(dct_pallas.real_dct_quant_zigzag_pallas(
+            blocks, is_luma, interpret=True, quality=35
+        ))
+        prod = np.asarray(dct_pallas.real_dct_quant_zigzag_pallas_t(
+            blocks, is_luma, interpret=True, quality=35
+        ))
+        assert np.array_equal(legacy, prod)
 
 
 def test_cli_quality_flag(tmp_path, rng):

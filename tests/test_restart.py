@@ -153,15 +153,63 @@ def test_restart_tiled_uneven_bands():
     assert tiled_r.file_bytes == single.file_bytes
 
 
-def test_restart_tiled_misaligned_falls_back():
+def test_restart_tiled_auto_aligns_band_split():
+    """When the even band split misaligns with the interval, encode_tiled
+    picks a larger interval-aligned band instead of collapsing to one
+    device: 6x4 MCUs over 2 devices with interval 5 re-splits to 5-row
+    bands (20 MCUs = 4 whole intervals; band 1 ends the image mid-
+    interval, which is legal). No warning, byte-identical output."""
+    import warnings as warnings_mod
+
     from jpeg_encoder_tpu.parallel import mesh as mesh_lib
     from jpeg_encoder_tpu.parallel import tiled
 
     rgb = _image(96, 64, seed=15)
     cfg = EncoderConfig(restart_interval=5)  # 5 does not divide 3x4 MCUs
-    with pytest.warns(RuntimeWarning, match="straddle"):
+    with warnings_mod.catch_warnings():
+        warnings_mod.simplefilter("error")
         out = tiled.encode_tiled(rgb, cfg, mesh_lib.data_mesh(2))
     assert out.file_bytes == pipeline.encode_array(rgb, cfg).file_bytes
+
+
+def test_restart_tiled_alignment_matrix():
+    """Mesh-size x interval matrix: every cell either auto-aligns (byte-
+    identical, no warning) or — only when NO aligned multi-band split
+    exists — falls back with the warning."""
+    import warnings as warnings_mod
+
+    from jpeg_encoder_tpu.parallel import mesh as mesh_lib
+    from jpeg_encoder_tpu.parallel import tiled
+
+    rgb = _image(96, 64, seed=16)  # 4:2:0: 6 MCU rows x 4 cols = 24 MCUs
+    geom = EncoderConfig().geometry(64, 96)
+    fallbacks = 0
+    for n_dev in (2, 3, 4):
+        for interval in (1, 2, 3, 5, 7, 8, 11, 24):
+            cfg = EncoderConfig(restart_interval=interval)
+            single = pipeline.encode_array(rgb, cfg)
+            base = -(-geom.mcu_rows // n_dev)
+            has_aligned = any(
+                (rows * geom.mcu_cols) % interval == 0
+                and -(-geom.mcu_rows // rows) > 1
+                for rows in range(base, geom.mcu_rows)
+            ) or (base * geom.mcu_cols) % interval == 0 or (
+                -(-geom.mcu_rows // base) == 1
+            )
+            if has_aligned:
+                with warnings_mod.catch_warnings():
+                    warnings_mod.simplefilter("error")
+                    out = tiled.encode_tiled(
+                        rgb, cfg, mesh_lib.data_mesh(n_dev)
+                    )
+            else:
+                with pytest.warns(RuntimeWarning, match="no band split"):
+                    out = tiled.encode_tiled(
+                        rgb, cfg, mesh_lib.data_mesh(n_dev)
+                    )
+                fallbacks += 1
+            assert out.file_bytes == single.file_bytes, (n_dev, interval)
+    assert fallbacks >= 1  # the matrix must exercise the no-split branch
 
 
 @pytest.mark.slow
