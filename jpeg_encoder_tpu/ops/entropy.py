@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +38,12 @@ from jpeg_encoder_tpu import tables
 from jpeg_encoder_tpu.config import FrameGeometry
 
 SLOTS_PER_ENTRY = 65
+
+# Dev A/B knob: widen the marshaled coefficients to int32 in XLA (fusing
+# the cast into the marshal's output write) so the fused kernel's load
+# stage skips the in-kernel i16 widen, trading 2x input HBM bytes for it
+# (tools/exp_kernel_sections.py 'load' section).
+_I32_COEFFS = os.environ.get("JPEG_TPU_I32_COEFFS") == "1"
 
 
 # --------------------------------------------------------------------------
@@ -263,6 +270,8 @@ def encode_scan(
             y_coeffs, cb_coeffs, cr_coeffs, geom, init_dc,
             coeffs_zigzagged, want_diff=not dc_in_kernel,
         )
+        if _I32_COEFFS:
+            z = z.astype(jnp.int32)
         words, total_bits = entropy_pallas.encode_entropy_fused(
             z, geom, capacity_bytes, init_dc=init_dc,
             interpret=(packer == "fused_interpret"),

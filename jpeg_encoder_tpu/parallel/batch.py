@@ -83,6 +83,12 @@ def compiled_batch_encoder(
     def per_shard(batch):  # (B_local, H, W, 3)
         return jax.vmap(per_image)(batch)
 
+    if mesh.devices.size == 1:
+        # Degenerate mesh: shard_map adds nothing semantically but costs
+        # real compile time (the manual-sharding wrapper compiles far
+        # slower through the remote compile service), so single-chip
+        # batches take the plain vmapped program.
+        return jax.jit(per_shard)
     sharded = shard_map(
         per_shard,
         mesh=mesh,
@@ -120,6 +126,8 @@ def compiled_batch_stats_encoder(
             )
         )(batch)
 
+    if mesh.devices.size == 1:
+        return jax.jit(per_shard)  # see compiled_batch_encoder
     sharded = shard_map(
         per_shard,
         mesh=mesh,
@@ -161,6 +169,8 @@ def compiled_batch_custom_encoder(
     def per_shard(batch, dc_luts, ac_luts):
         return jax.vmap(per_image)(batch, dc_luts, ac_luts)
 
+    if mesh.devices.size == 1:
+        return jax.jit(per_shard)  # see compiled_batch_encoder
     sharded = shard_map(
         per_shard,
         mesh=mesh,
@@ -298,6 +308,12 @@ def fetch_chunk(
     """
     bits_np = np.asarray(bit_lengths)
     max_bytes = min(capacity, (int(bits_np.max()) + 7) // 8)
+    # Bucket the slice length to a power of two: every distinct slice
+    # shape is a separate tiny compiled program, and through a remote
+    # compile service each costs seconds — per-chunk varying lengths
+    # would recompile every chunk. <= 2x extra fetched bytes buys one
+    # stable shape per capacity rung.
+    max_bytes = min(capacity, 1 << (max(max_bytes, 1) - 1).bit_length())
     return np.asarray(payloads[..., :max_bytes]), bits_np
 
 

@@ -515,8 +515,10 @@ def encode_tiled(
     bit_lengths = np.asarray(bit_lengths)
     # Device-side prefix slice before the fetch: the capacity rectangle
     # is ~5x the real payloads and the device->host transfer dominates
-    # the host path on remote-attached chips (see pipeline.encode_array).
-    max_bytes = min(capacity, (int(bit_lengths.max()) + 7) // 8)
+    # the host path on remote-attached chips (see pipeline.encode_array's
+    # note on the power-of-two length bucketing).
+    max_bytes = (int(bit_lengths.max()) + 7) // 8
+    max_bytes = min(capacity, 1 << (max(max_bytes, 1) - 1).bit_length())
     payloads = np.asarray(payloads[..., :max_bytes])
     init_dcs = np.asarray(init_dcs)
 

@@ -704,7 +704,12 @@ def encode_array(
     # payload, and device->host transfer is the dominant single-image
     # cost on remote-attached TPUs (4K: 155 -> 87 ms/img through the
     # tunnel; a PCIe-local chip moves 5x fewer bytes all the same).
-    payload = np.asarray(out["payload"][:num_bytes]).tobytes()
+    # The slice length is BUCKETED to a power of two: every distinct
+    # length is its own tiny compiled program, and a remote compile
+    # service charges seconds per shape — content-exact lengths would
+    # recompile for every image.
+    bucket = min(capacity, 1 << (max(num_bytes, 1) - 1).bit_length())
+    payload = np.asarray(out["payload"][:bucket])[:num_bytes].tobytes()
     result = EncodeResult(
         file_bytes=jfif.assemble(geom, payload, quality=config.quality),
         entropy_payload=payload,
@@ -817,8 +822,10 @@ def _encode_array_restart(
             )
         capacity = restart_next_capacity_bytes(geom, restart, capacity)
     # Fetch only the longest interval's byte prefix of every row (the
-    # buffer is an estimate-sized rectangle; see encode_array's note).
-    max_bytes = min(capacity, (int(bits.max()) + 7) // 8)
+    # buffer is an estimate-sized rectangle; see encode_array's note on
+    # the power-of-two length bucketing).
+    max_bytes = (int(bits.max()) + 7) // 8
+    max_bytes = min(capacity, 1 << (max(max_bytes, 1) - 1).bit_length())
     payloads = np.asarray(out["payloads"][:, :max_bytes])
     return restart_result(
         geom, list(payloads), [int(b) for b in bits], restart,

@@ -112,6 +112,7 @@ def _artifact_path(key: tuple) -> str:
     # fingerprint — hash them in so an A/B sweep can't reuse a stale
     # executable (the compile cache gets this for free by hashing HLO).
     h.update(os.environ.get("JPEG_TPU_ENTROPY_TILE", "").encode())
+    h.update(os.environ.get("JPEG_TPU_I32_COEFFS", "").encode())
     h.update(repr(key).encode())
     return os.path.join(_dir, f"exe_{h.hexdigest()[:24]}.pkl")
 

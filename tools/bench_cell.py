@@ -1,8 +1,15 @@
-"""One matrix cell, fast: `python tools/bench_cell.py 4:4:4 [bin] [restart=N]`.
+"""One matrix cell, fast: `python tools/bench_cell.py 4:4:4 [bin] [restart=N]
+[optimize]`.
 
 restart=N frames the scan into N-MCU restart intervals (the opt-in
 DRI/RSTn extension) so its device cost is measurable with the same
 methodology.
+
+`optimize` measures the BATCHED two-pass optimized-Huffman mode: per
+iteration, the device stats pass + host table build + the vmapped-LUT
+encode pass (the fused kernel with traced tables). Reported both as the
+full two-pass cost (what --optimize-huffman pays) and the encode pass
+alone (comparable to the fixed-table cell).
 
 Same methodology as tools/bench_matrix.py (payloads materialized,
 enqueue-K + scalar fetch), one (ratio, algorithm) configuration only —
@@ -31,6 +38,7 @@ restart = next(
     (int(a.split("=")[1]) for a in sys.argv[2:] if a.startswith("restart=")),
     None,
 )
+optimize = "optimize" in sys.argv[2:]
 
 key = jax.random.key(0)
 base = jax.random.uniform(key, (B, H // 8, W // 8, 3))
@@ -69,13 +77,71 @@ def timed_run(iters):
     return time.perf_counter() - t0
 
 
-_, bits = go(images)
-_ = np.asarray(bits[0])
-for _ in range(2):
-    timed_run(1)
-est = timed_run(4) / 4
-iters = max(8, min(2048, int(MIN_TIMED_SECONDS / max(est, 1e-5))))
-dt = timed_run(iters) / iters
+def measure(run):
+    run(1)  # warm (compile)
+    for _ in range(2):
+        run(1)
+    est = run(4) / 4
+    iters = max(8, min(2048, int(MIN_TIMED_SECONDS / max(est, 1e-5))))
+    return run(iters) / iters
+
+
+if optimize:
+    import jax.numpy as jnp
+
+    from jpeg_encoder_tpu.parallel import batch as batch_lib
+    from jpeg_encoder_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.data_mesh()
+    stats_enc = batch_lib.compiled_batch_stats_encoder(
+        mesh, geom, algo, restart_interval=restart
+    )
+    custom_enc = batch_lib.compiled_batch_custom_encoder(
+        mesh, geom, algo, cap, restart
+    )
+
+    def build_luts(hists):
+        dc = np.empty((B, 2, 256), np.int32)
+        ac = np.empty((B, 2, 256), np.int32)
+        for i in range(B):
+            _, d, a = pipeline.optimal_specs_and_luts(hists[i])
+            dc[i] = np.asarray(d)
+            ac[i] = np.asarray(a)
+        return jnp.asarray(dc), jnp.asarray(ac)
+
+    def two_pass(iters):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            hists = np.asarray(stats_enc(images))
+            dc, ac = build_luts(hists)
+            _, bits = custom_enc(images, dc, ac)
+        np.asarray(bits).max()
+        return time.perf_counter() - t0
+
+    # Encode pass alone (tables prebuilt): the fused-kernel cell
+    # comparable to the fixed-table measurement.
+    hists0 = np.asarray(stats_enc(images))
+    dc0, ac0 = build_luts(hists0)
+
+    def encode_only(iters):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            _, bits = custom_enc(images, dc0, ac0)
+        np.asarray(bits).max()
+        return time.perf_counter() - t0
+
+    dt_full = measure(two_pass)
+    dt_enc = measure(encode_only)
+    tag = f" restart={restart}" if restart is not None else ""
+    print(
+        f"{':'.join(map(str, ratio))} {algo.value}{tag} optimize: "
+        f"two-pass {dt_full*1e3:.2f} ms/batch {B*H*W/dt_full/1e6:.0f} "
+        f"Mpix/s | encode pass {dt_enc*1e3:.2f} ms/batch "
+        f"{B*H*W/dt_enc/1e6:.0f} Mpix/s"
+    )
+    raise SystemExit(0)
+
+dt = measure(timed_run)
 tag = f" restart={restart}" if restart is not None else ""
 print(f"{':'.join(map(str, ratio))} {algo.value}{tag}: {dt*1e3:.2f} ms/batch  "
       f"{B*H*W/dt/1e6:.0f} Mpix/s")
