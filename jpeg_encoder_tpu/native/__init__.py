@@ -79,6 +79,8 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     ]
     lib.jt_stuff_bytes.restype = ctypes.c_int64
     lib.jt_stuff_bytes.argtypes = [u8p, ctypes.c_int64, u8p]
+    lib.jt_optimal_huffman.restype = ctypes.c_int
+    lib.jt_optimal_huffman.argtypes = [i64p, u8p, u8p, i32p]
     lib.jt_splice_bits.restype = ctypes.c_int64
     lib.jt_splice_bits.argtypes = [u8pp, i64p, ctypes.c_int32, u8p]
     return lib

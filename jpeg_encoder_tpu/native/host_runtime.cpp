@@ -179,6 +179,102 @@ int64_t jt_stuff_bytes(const uint8_t* in, int64_t n, uint8_t* out) {
 }
 
 // ---------------------------------------------------------------------------
+// Optimal Huffman table construction (ITU-T T.81 Annex K.2/K.3)
+// ---------------------------------------------------------------------------
+
+// Exact port of tables.optimal_spec (the Python/NumPy implementation stays
+// the behavioral spec; an A/B test asserts identity over fuzzed
+// histograms). The per-image optimized-Huffman mode builds 4 tables per
+// image on the host between the device stats and encode passes — the
+// Python merge loop costs ~2 ms/table, which at batch rates would dominate
+// the mode (tools/bench_cell.py optimize); this runs in ~30 us.
+//
+// freq: 256 symbol counts. bits_out: 16 code-length counts. symbols_out:
+// up to 256 symbols in (code length, value) order. *nsym_out: symbol
+// count. Returns 0, or JT_ERR_DIMS when a code size exceeds the working
+// array (unreachable for real histograms; the Fibonacci depth bound keeps
+// sizes < 50 even for 2^32 total counts).
+int jt_optimal_huffman(const int64_t* freq, uint8_t* bits_out,
+                       uint8_t* symbols_out, int32_t* nsym_out) {
+  int64_t counts[257];
+  int32_t codesize[257];
+  int32_t others[257];
+  for (int v = 0; v < 256; ++v) counts[v] = freq[v];
+  counts[256] = 1;  // reserved: claims the all-ones code (F.1.4.5)
+  for (int v = 0; v < 257; ++v) {
+    codesize[v] = 0;
+    others[v] = -1;
+  }
+
+  for (;;) {
+    // Least count, ties toward the LARGEST value (K.2), twice.
+    int v1 = -1, v2 = -1;
+    for (int v = 0; v < 257; ++v) {
+      if (counts[v] <= 0) continue;
+      if (v1 < 0 || counts[v] < counts[v1] ||
+          (counts[v] == counts[v1] && v > v1))
+        v1 = v;
+    }
+    for (int v = 0; v < 257; ++v) {
+      if (counts[v] <= 0 || v == v1) continue;
+      if (v2 < 0 || counts[v] < counts[v2] ||
+          (counts[v] == counts[v2] && v > v2))
+        v2 = v;
+    }
+    if (v2 < 0) break;  // fewer than two active values
+
+    counts[v1] += counts[v2];
+    counts[v2] = 0;
+    codesize[v1] += 1;
+    while (others[v1] != -1) {
+      v1 = others[v1];
+      codesize[v1] += 1;
+    }
+    others[v1] = v2;
+    codesize[v2] += 1;
+    while (others[v2] != -1) {
+      v2 = others[v2];
+      codesize[v2] += 1;
+    }
+  }
+
+  constexpr int kBits = 60;  // matches the Python working-array bound
+  int32_t bits[kBits];
+  std::memset(bits, 0, sizeof(bits));
+  for (int v = 0; v < 257; ++v) {
+    if (codesize[v] <= 0) continue;
+    if (codesize[v] > kBits) return JT_ERR_DIMS;
+    bits[codesize[v] - 1] += 1;
+  }
+  // Fold sizes > 16 down (figure K.3 verbatim).
+  for (int i = kBits - 1; i >= 16; --i) {
+    while (bits[i] > 0) {
+      int j = i - 2;
+      while (bits[j] == 0) --j;
+      bits[i] -= 2;
+      bits[i - 1] += 1;
+      bits[j + 1] += 2;
+      bits[j] -= 1;
+    }
+  }
+  // Remove the reserved symbol's code from the longest used length.
+  {
+    int i = 15;
+    while (i > 0 && bits[i] == 0) --i;
+    if (bits[i] > 0) bits[i] -= 1;
+  }
+  for (int i = 0; i < 16; ++i) bits_out[i] = static_cast<uint8_t>(bits[i]);
+
+  // Symbols in (code length, value) order.
+  int32_t n = 0;
+  for (int len = 1; len <= kBits; ++len)
+    for (int v = 0; v < 256; ++v)
+      if (codesize[v] == len) symbols_out[n++] = static_cast<uint8_t>(v);
+  *nsym_out = n;
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
 // Bit-level splice of byte-aligned shard bitstreams (utils/bits.py parity)
 // ---------------------------------------------------------------------------
 

@@ -106,3 +106,24 @@ def test_splice_matches_numpy(seed, monkeypatch):
     _numpy_only(monkeypatch)
     via_numpy = bits.splice_bitstreams(chunks)
     assert via_native == via_numpy
+
+
+def test_native_optimal_huffman_matches_python_fuzz(rng):
+    """The C++ K.2 table construction must equal the Python spec exactly
+    (same merge tie-breaking, K.3 fold, reserved-code removal, symbol
+    order) over heavy-tailed fuzzed histograms."""
+    from jpeg_encoder_tpu import native, tables
+
+    if native.load() is None:
+        pytest.skip("native runtime unavailable")
+    for trial in range(80):
+        n_active = int(rng.integers(1, 257))
+        freq = np.zeros(256, np.int64)
+        idx = rng.choice(256, n_active, replace=False)
+        freq[idx] = np.maximum(
+            1, (rng.pareto(0.3, n_active) * 10).astype(np.int64)
+        )
+        got = tables.optimal_spec(freq)       # native path
+        want = tables._optimal_spec_py(freq)  # Python spec
+        assert got.bits == want.bits, trial
+        assert got.symbols == want.symbols, trial

@@ -379,3 +379,34 @@ def test_stream_encode_paths_propagates_writer_errors(tmp_path, rng):
 
     with pytest.raises(OSError, match="disk full"):
         stream.encode_paths(paths, config, mesh, bad_emit)
+
+
+def test_stream_encode_paths_restart_and_optimize(tmp_path, rng, monkeypatch):
+    """The stream engine's restart (overlapped) and optimize (batched
+    two-pass) modes must both emit the single-image path's files."""
+    from jpeg_encoder_tpu.io import bmp
+    from jpeg_encoder_tpu.parallel import stream
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = mesh_lib.data_mesh(2)
+    monkeypatch.setattr(batch, "CHUNK_INPUT_BUDGET", 32 * 48 * 3)
+    paths = []
+    rgbs = {}
+    for i in range(4):
+        rgb = rng.integers(0, 256, size=(32, 48, 3), dtype=np.uint8)
+        p = str(tmp_path / f"m{i}.bmp")
+        bmp.write(p, rgb)
+        paths.append(p)
+        rgbs[p] = rgb
+
+    for config in (
+        EncoderConfig(subsampling_ratio=(4, 2, 0), restart_interval=2),
+        EncoderConfig(subsampling_ratio=(4, 2, 0), optimize_huffman=True),
+    ):
+        got = {}
+        stats = stream.encode_paths(paths, config, mesh, got.__setitem__)
+        assert stats.encoded == 4
+        for p in paths:
+            want = pipeline.encode_array(rgbs[p], config).file_bytes
+            assert got[p] == want, (p, config)
