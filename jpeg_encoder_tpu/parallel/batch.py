@@ -307,13 +307,9 @@ def fetch_chunk(
     before fetching.
     """
     bits_np = np.asarray(bit_lengths)
-    max_bytes = min(capacity, (int(bits_np.max()) + 7) // 8)
-    # Bucket the slice length to a power of two: every distinct slice
-    # shape is a separate tiny compiled program, and through a remote
-    # compile service each costs seconds — per-chunk varying lengths
-    # would recompile every chunk. <= 2x extra fetched bytes buys one
-    # stable shape per capacity rung.
-    max_bytes = min(capacity, 1 << (max(max_bytes, 1) - 1).bit_length())
+    max_bytes = pipeline.bucket_fetch_bytes(
+        (int(bits_np.max()) + 7) // 8, capacity
+    )
     return np.asarray(payloads[..., :max_bytes]), bits_np
 
 
@@ -427,11 +423,16 @@ def _encode_chunk_optimized(
     specs_list = []
     dc_luts = np.empty((padded_batch, 2, 256), np.int32)
     ac_luts = np.empty((padded_batch, 2, 256), np.int32)
-    for i in range(padded_batch):
+    for i in range(batch):
         specs, dc, ac = pipeline.optimal_specs_and_luts(hists[i])
         specs_list.append(specs)
         dc_luts[i] = np.asarray(dc)
         ac_luts[i] = np.asarray(ac)
+    # Padding rows' outputs are discarded; reuse member 0's tables rather
+    # than building throwaway specs for blank images (which bits they
+    # emit is irrelevant — they only need IN-RANGE gather indices).
+    dc_luts[batch:] = dc_luts[0]
+    ac_luts[batch:] = ac_luts[0]
 
     payloads, bits = compiled_batch_custom_encoder(
         mesh, geom, config.dct_algorithm, capacity, restart,

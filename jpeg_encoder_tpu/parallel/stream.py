@@ -71,19 +71,22 @@ def encode_paths(
     pipeline (no silent partial results; already-emitted files stand,
     which is what the manifest/resume contract wants).
     """
+    t0 = time.perf_counter()
+    # Group by dimensions (order-preserving): each group feeds one
+    # compiled program shape.
+    groups: dict[tuple[int, int], list[str]] = {}
+    for path in paths:
+        with open(path, "rb") as f:
+            head = f.read(64)
+        groups.setdefault(bmp.probe_dimensions(head), []).append(path)
+    n_dev = mesh.devices.size
+
     if config.optimize_huffman:
         # Batched two-pass mode, chunk by chunk (encode_batch runs the
         # stats shard_map + host table build + vmapped-LUT encode). The
         # two device round trips per chunk keep this leg synchronous
         # rather than overlapped; it is still chunk-bounded and batched.
-        t0 = time.perf_counter()
         stats = StreamStats()
-        groups: dict[tuple[int, int], list[str]] = {}
-        for path in paths:
-            with open(path, "rb") as f:
-                head = f.read(64)
-            groups.setdefault(bmp.probe_dimensions(head), []).append(path)
-        n_dev = mesh.devices.size
         for (width, height), group in groups.items():
             geom = config.geometry(width, height)
             chunk = batch_lib.chunk_size_images(geom, n_dev)
@@ -102,16 +105,6 @@ def encode_paths(
         stats.seconds = time.perf_counter() - t0
         return stats
 
-    t0 = time.perf_counter()
-    # Group by dimensions (order-preserving): each group feeds one
-    # compiled program shape.
-    groups: dict[tuple[int, int], list[str]] = {}
-    for path in paths:
-        with open(path, "rb") as f:
-            head = f.read(64)
-        groups.setdefault(bmp.probe_dimensions(head), []).append(path)
-
-    n_dev = mesh.devices.size
     work: list[tuple[tuple[int, int], list[str]]] = []
     for (width, height), group in groups.items():
         geom = config.geometry(width, height)

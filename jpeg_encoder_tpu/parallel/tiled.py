@@ -77,11 +77,16 @@ def _aligned_band_rows(
     band may end mid-interval — it ends the image. The band size is ours
     to choose, so instead of falling back to one device on misalignment,
     search upward from the even split for the smallest band_rows whose
-    full band is interval-aligned. Returns None when only the degenerate
-    single-live-band split (band_rows >= mcu_rows) remains — the caller's
-    single-device fallback is then genuinely the only option.
+    full band is interval-aligned. The search is bounded at 2x the even
+    split: past that, most devices idle on dead bands and the padded
+    input balloons (n_dev * band height), so the single-device fallback
+    is the cheaper program — e.g. an interval coprime to the MCU-grid
+    width would otherwise force band_rows = interval, nearly the whole
+    image per band. Returns None when no aligned split within the bound
+    exists (or only the degenerate single-live-band one does).
     """
-    for rows in range(_band_rows(geom, n_dev), geom.mcu_rows):
+    base = _band_rows(geom, n_dev)
+    for rows in range(base, min(2 * base + 1, geom.mcu_rows)):
         if (rows * geom.mcu_cols) % restart == 0:
             return rows
     return None
@@ -494,7 +499,21 @@ def encode_tiled(
             restart, band_rows,
         )(device_rgb))
         dht_specs, dc_lut, ac_lut = pipeline.optimal_specs_and_luts(hist)
-        luts = (dc_lut, ac_lut)
+        # Retry paths re-encode a band on a process-LOCAL device; keep the
+        # tables as host arrays there so each jit commits them locally.
+        luts = (np.asarray(dc_lut), np.asarray(ac_lut))
+        if multi:
+            # Every process built identical tables from the replicated
+            # histogram; assemble them as replicated GLOBAL arrays — the
+            # multi-process mesh program cannot consume process-local
+            # single-device arrays.
+            rep = jax.sharding.NamedSharding(mesh, P())
+            dc_lut = jax.make_array_from_callback(
+                luts[0].shape, rep, lambda idx: luts[0][idx]
+            )
+            ac_lut = jax.make_array_from_callback(
+                luts[1].shape, rep, lambda idx: luts[1][idx]
+            )
         encoder = compiled_tiled_encoder(
             mesh, geom, config.dct_algorithm, capacity, config.fast_dct,
             config.bin_dct_descale, config.quality, replicate_out=multi,
@@ -515,10 +534,11 @@ def encode_tiled(
     bit_lengths = np.asarray(bit_lengths)
     # Device-side prefix slice before the fetch: the capacity rectangle
     # is ~5x the real payloads and the device->host transfer dominates
-    # the host path on remote-attached chips (see pipeline.encode_array's
-    # note on the power-of-two length bucketing).
-    max_bytes = (int(bit_lengths.max()) + 7) // 8
-    max_bytes = min(capacity, 1 << (max(max_bytes, 1) - 1).bit_length())
+    # the host path on remote-attached chips (pipeline.bucket_fetch_bytes
+    # keeps the slice shapes stable).
+    max_bytes = pipeline.bucket_fetch_bytes(
+        (int(bit_lengths.max()) + 7) // 8, capacity
+    )
     payloads = np.asarray(payloads[..., :max_bytes])
     init_dcs = np.asarray(init_dcs)
 

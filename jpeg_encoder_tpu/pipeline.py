@@ -96,6 +96,17 @@ def restart_default_capacity_bytes(
     return min(cap, worst)
 
 
+def bucket_fetch_bytes(num_bytes: int, capacity_bytes: int) -> int:
+    """Round a device->host payload-fetch length up to a power of two.
+
+    Every distinct slice length is its own tiny compiled program, and a
+    remote compile service charges seconds per shape — content-exact
+    lengths would recompile for every image/chunk. <= 2x extra fetched
+    bytes buys one stable shape per capacity rung.
+    """
+    return min(capacity_bytes, 1 << (max(num_bytes, 1) - 1).bit_length())
+
+
 def default_packer(capacity_bytes: int) -> str:
     """Pick the entropy/packing implementation for the current backend.
 
@@ -704,11 +715,9 @@ def encode_array(
     # payload, and device->host transfer is the dominant single-image
     # cost on remote-attached TPUs (4K: 155 -> 87 ms/img through the
     # tunnel; a PCIe-local chip moves 5x fewer bytes all the same).
-    # The slice length is BUCKETED to a power of two: every distinct
-    # length is its own tiny compiled program, and a remote compile
-    # service charges seconds per shape — content-exact lengths would
-    # recompile for every image.
-    bucket = min(capacity, 1 << (max(num_bytes, 1) - 1).bit_length())
+    # The slice length is BUCKETED (bucket_fetch_bytes): content-exact
+    # lengths would compile a new tiny slice program per image.
+    bucket = bucket_fetch_bytes(num_bytes, capacity)
     payload = np.asarray(out["payload"][:bucket])[:num_bytes].tobytes()
     result = EncodeResult(
         file_bytes=jfif.assemble(geom, payload, quality=config.quality),
@@ -822,10 +831,9 @@ def _encode_array_restart(
             )
         capacity = restart_next_capacity_bytes(geom, restart, capacity)
     # Fetch only the longest interval's byte prefix of every row (the
-    # buffer is an estimate-sized rectangle; see encode_array's note on
-    # the power-of-two length bucketing).
-    max_bytes = (int(bits.max()) + 7) // 8
-    max_bytes = min(capacity, 1 << (max(max_bytes, 1) - 1).bit_length())
+    # buffer is an estimate-sized rectangle; bucket_fetch_bytes keeps the
+    # slice shapes stable).
+    max_bytes = bucket_fetch_bytes((int(bits.max()) + 7) // 8, capacity)
     payloads = np.asarray(out["payloads"][:, :max_bytes])
     return restart_result(
         geom, list(payloads), [int(b) for b in bits], restart,

@@ -92,6 +92,20 @@ def main() -> int:
         "cross-host restart-tiled encode diverged from the local encode"
     )
 
+    # Phase 4: cross-host band shard with OPTIMIZED Huffman — the stats
+    # psum rides the cross-process mesh and the shared tables go back in
+    # as replicated GLOBAL operand arrays (the path a process-local array
+    # cannot serve).
+    config_o = EncoderConfig(
+        subsampling_ratio=(4, 2, 0), optimize_huffman=True
+    )
+    tiled_opt = tiled.encode_tiled(big, config_o, global_mesh)
+    local_opt = pipeline.encode_array(big, config_o)
+    assert tiled_opt.file_bytes == local_opt.file_bytes, (
+        "cross-host optimized-Huffman tiled encode diverged from the "
+        "local encode"
+    )
+
     with open(os.path.join(out_dir, f"result-{idx}.json"), "w") as f:
         json.dump(
             {

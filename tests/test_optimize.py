@@ -280,3 +280,19 @@ def test_optimized_batch_restart_matches_single():
     files = batch_lib.encode_batch(images, cfg, mesh_lib.data_mesh(2))
     for i in range(2):
         assert files[i] == pipeline.encode_array(images[i], cfg).file_bytes
+
+
+def test_optimized_tiled_restart_uneven_matches_single_device():
+    """Quadruple composition: band tiling + UNEVEN split + restart framing
+    + optimized Huffman — dead-band stats masking, auto-aligned bands, and
+    the shared table set must still reproduce the single-device file."""
+    from jpeg_encoder_tpu.parallel import mesh as mesh_lib
+    from jpeg_encoder_tpu.parallel import tiled
+
+    rgb = corpus.foliage(96, 64)  # 6 MCU rows at 4:2:0
+    cfg = EncoderConfig(optimize_huffman=True, restart_interval=4)
+    single = pipeline.encode_array(rgb, cfg)
+    # 8 devices over 6 MCU rows: every band is one MCU row (4 MCUs =
+    # one interval), two devices fully dead.
+    got = tiled.encode_tiled(rgb, cfg, mesh_lib.data_mesh(8))
+    assert got.file_bytes == single.file_bytes

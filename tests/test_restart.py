@@ -189,12 +189,11 @@ def test_restart_tiled_alignment_matrix():
             cfg = EncoderConfig(restart_interval=interval)
             single = pipeline.encode_array(rgb, cfg)
             base = -(-geom.mcu_rows // n_dev)
-            has_aligned = any(
-                (rows * geom.mcu_cols) % interval == 0
-                and -(-geom.mcu_rows // rows) > 1
-                for rows in range(base, geom.mcu_rows)
-            ) or (base * geom.mcu_cols) % interval == 0 or (
-                -(-geom.mcu_rows // base) == 1
+            aligned = tiled._aligned_band_rows(geom, n_dev, interval)
+            has_aligned = (
+                (base * geom.mcu_cols) % interval == 0
+                or -(-geom.mcu_rows // base) == 1
+                or (aligned is not None and -(-geom.mcu_rows // aligned) > 1)
             )
             if has_aligned:
                 with warnings_mod.catch_warnings():
