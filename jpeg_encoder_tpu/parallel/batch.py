@@ -404,22 +404,79 @@ def _encode_chunk_optimized(
     operands — the fused entropy kernel reads them, so batch+optimize no
     longer degenerates to a sequential per-image loop.
     """
-    batch, height, width = images.shape[:3]
-    restart = config.restart_interval
+    batch = images.shape[0]
     capacity = chunk_capacity_bytes(config, geom)
+    device_images, hists_dev = dispatch_optimized_stats(
+        images, config, mesh, geom
+    )
+    specs_list, dc_luts, ac_luts = build_chunk_luts(
+        np.asarray(hists_dev), batch
+    )
+    payloads, bits = dispatch_optimized_encode(
+        device_images, dc_luts, ac_luts, config, mesh, geom, capacity
+    )
+    payloads_np, bits_np = fetch_chunk(payloads, bits, capacity)
+    return assemble_chunk_optimized(
+        images, config, geom, capacity, payloads_np, bits_np, specs_list
+    )
+
+
+def dispatch_optimized_stats(
+    images: np.ndarray,
+    config: EncoderConfig,
+    mesh: Mesh,
+    geom: FrameGeometry,
+) -> tuple[jax.Array, jax.Array]:
+    """Pad + shard one optimize chunk and enqueue its statistics pass.
+
+    Returns (device_images, hists) — both asynchronous, so the caller can
+    keep later chunks' stats in flight while earlier chunks build tables
+    and encode (the streaming engine's software pipeline).
+    """
+    batch, height, width = images.shape[:3]
     n_dev = mesh.devices.size
     padded_batch = _dispatch_size(batch, n_dev, chunk_size_images(geom, n_dev))
     if padded_batch != batch:
         pad = np.zeros((padded_batch - batch, height, width, 3), np.uint8)
-        padded = np.concatenate([images, pad])
-    else:
-        padded = images
-    device_images = shard_to_devices(padded, mesh)
-    hists = np.asarray(compiled_batch_stats_encoder(
+        images = np.concatenate([images, pad])
+    device_images = shard_to_devices(images, mesh)
+    hists = compiled_batch_stats_encoder(
         mesh, geom, config.dct_algorithm, config.fast_dct,
-        config.bin_dct_descale, config.quality, restart,
-    )(device_images))
+        config.bin_dct_descale, config.quality, config.restart_interval,
+    )(device_images)
+    return device_images, hists
 
+
+def dispatch_optimized_encode(
+    device_images: jax.Array,
+    dc_luts: np.ndarray,
+    ac_luts: np.ndarray,
+    config: EncoderConfig,
+    mesh: Mesh,
+    geom: FrameGeometry,
+    capacity: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Enqueue the vmapped-LUT encode pass for an already-sharded chunk."""
+    return compiled_batch_custom_encoder(
+        mesh, geom, config.dct_algorithm, capacity, config.restart_interval,
+        config.fast_dct, config.bin_dct_descale, config.quality,
+    )(
+        device_images,
+        shard_to_devices(dc_luts, mesh),
+        shard_to_devices(ac_luts, mesh),
+    )
+
+
+def build_chunk_luts(
+    hists: np.ndarray, batch: int
+) -> tuple[list, np.ndarray, np.ndarray]:
+    """(padded_B, 4, 256) histograms -> (specs per REAL member, LUT arrays).
+
+    Padding rows' outputs are discarded; they reuse member 0's tables
+    rather than building throwaway specs for blank images (which bits
+    they emit is irrelevant — they only need in-range gather indices).
+    """
+    padded_batch = hists.shape[0]
     specs_list = []
     dc_luts = np.empty((padded_batch, 2, 256), np.int32)
     ac_luts = np.empty((padded_batch, 2, 256), np.int32)
@@ -428,22 +485,23 @@ def _encode_chunk_optimized(
         specs_list.append(specs)
         dc_luts[i] = np.asarray(dc)
         ac_luts[i] = np.asarray(ac)
-    # Padding rows' outputs are discarded; reuse member 0's tables rather
-    # than building throwaway specs for blank images (which bits they
-    # emit is irrelevant — they only need IN-RANGE gather indices).
     dc_luts[batch:] = dc_luts[0]
     ac_luts[batch:] = ac_luts[0]
+    return specs_list, dc_luts, ac_luts
 
-    payloads, bits = compiled_batch_custom_encoder(
-        mesh, geom, config.dct_algorithm, capacity, restart,
-        config.fast_dct, config.bin_dct_descale, config.quality,
-    )(
-        device_images,
-        shard_to_devices(dc_luts, mesh),
-        shard_to_devices(ac_luts, mesh),
-    )
-    payloads_np, bits_np = fetch_chunk(payloads, bits, capacity)
 
+def assemble_chunk_optimized(
+    images: np.ndarray,
+    config: EncoderConfig,
+    geom: FrameGeometry,
+    capacity: int,
+    payloads_np: np.ndarray,
+    bits_np: np.ndarray,
+    specs_list: list,
+) -> list[bytes]:
+    """Host assembly for one optimized chunk (per-image DHT specs)."""
+    batch = images.shape[0]
+    restart = config.restart_interval
     files = []
     for i in range(batch):
         bits_i = bits_np[i]

@@ -18,6 +18,11 @@ Bounded queues (depth 2) give backpressure, so host RSS and device HBM
 hold at most ~3 chunks regardless of dataset size; chunk sizes come from
 parallel/batch.chunk_size_images (a per-device input-byte budget).
 
+The optimized-Huffman two-pass mode rides the same pipeline: the loader
+additionally enqueues each chunk's statistics pass right after decoding
+it, so chunk k+1's stats run on device while the main thread builds
+chunk k's tables (native K.2) and dispatches its encode.
+
 Used by the --dataset CLI path (parallel/multihost.encode_dataset) and
 the multi-image batch CLI; the plain encode_batch array API stays
 synchronous for library callers.
@@ -80,30 +85,7 @@ def encode_paths(
             head = f.read(64)
         groups.setdefault(bmp.probe_dimensions(head), []).append(path)
     n_dev = mesh.devices.size
-
-    if config.optimize_huffman:
-        # Batched two-pass mode, chunk by chunk (encode_batch runs the
-        # stats shard_map + host table build + vmapped-LUT encode). The
-        # two device round trips per chunk keep this leg synchronous
-        # rather than overlapped; it is still chunk-bounded and batched.
-        stats = StreamStats()
-        for (width, height), group in groups.items():
-            geom = config.geometry(width, height)
-            chunk = batch_lib.chunk_size_images(geom, n_dev)
-            for chunk_paths in _chunks(group, chunk):
-                t = time.perf_counter()
-                images = bmp.read_batch(chunk_paths)
-                stats.decode_seconds += time.perf_counter() - t
-                files = batch_lib.encode_batch(images, config, mesh)
-                t = time.perf_counter()
-                for path, data in zip(chunk_paths, files):
-                    emit(path, data)
-                    stats.encoded += 1
-                    stats.output_bytes += len(data)
-                    stats.pixels += width * height
-                stats.write_seconds += time.perf_counter() - t
-        stats.seconds = time.perf_counter() - t0
-        return stats
+    optimize = config.optimize_huffman
 
     work: list[tuple[tuple[int, int], list[str]]] = []
     for (width, height), group in groups.items():
@@ -124,13 +106,29 @@ def encode_paths(
 
     def loader():
         try:
-            for dims, chunk_paths in work:
+            for (width, height), chunk_paths in work:
                 if stop.is_set():
                     return
                 t = time.perf_counter()
                 images = bmp.read_batch(chunk_paths)
                 stats.decode_seconds += time.perf_counter() - t
-                load_q.put((dims, chunk_paths, images))
+                if optimize:
+                    # Enqueue the statistics pass HERE so chunk k+1's
+                    # stats are in flight while the main thread builds
+                    # chunk k's tables and dispatches its encode (the
+                    # two-pass mode's software pipeline).
+                    geom = config.geometry(width, height)
+                    dev_images, hists = batch_lib.dispatch_optimized_stats(
+                        images, config, mesh, geom
+                    )
+                    load_q.put(
+                        ((width, height), chunk_paths, images, dev_images,
+                         hists)
+                    )
+                else:
+                    load_q.put(
+                        ((width, height), chunk_paths, images, None, None)
+                    )
         except BaseException as e:  # propagate to the main thread
             errors.append(e)
         finally:
@@ -142,14 +140,21 @@ def encode_paths(
                 item = write_q.get()
                 if item is _DONE:
                     return
-                chunk_paths, images, geom, capacity, payloads, bits = item
+                (chunk_paths, images, geom, capacity, payloads, bits,
+                 specs_list) = item
                 t = time.perf_counter()
                 payloads_np, bits_np = batch_lib.fetch_chunk(
                     payloads, bits, capacity
                 )
-                files = batch_lib.assemble_chunk(
-                    images, config, geom, capacity, payloads_np, bits_np
-                )
+                if specs_list is None:
+                    files = batch_lib.assemble_chunk(
+                        images, config, geom, capacity, payloads_np, bits_np
+                    )
+                else:
+                    files = batch_lib.assemble_chunk_optimized(
+                        images, config, geom, capacity, payloads_np,
+                        bits_np, specs_list,
+                    )
                 for path, data in zip(chunk_paths, files):
                     emit(path, data)
                     stats.encoded += 1
@@ -175,16 +180,27 @@ def encode_paths(
             if item is _DONE:
                 loader_done = True
                 break
-            (width, height), chunk_paths, images = item
+            (width, height), chunk_paths, images, dev_images, hists = item
             if stop.is_set():
                 continue  # drain after a writer error
             geom = config.geometry(width, height)
             capacity = batch_lib.chunk_capacity_bytes(config, geom)
-            payloads, bits = batch_lib.dispatch_chunk(
-                images, config, mesh, geom, capacity
-            )
+            if optimize:
+                specs_list, dc_luts, ac_luts = batch_lib.build_chunk_luts(
+                    np.asarray(hists), images.shape[0]
+                )
+                payloads, bits = batch_lib.dispatch_optimized_encode(
+                    dev_images, dc_luts, ac_luts, config, mesh, geom,
+                    capacity,
+                )
+            else:
+                specs_list = None
+                payloads, bits = batch_lib.dispatch_chunk(
+                    images, config, mesh, geom, capacity
+                )
             write_q.put(
-                (chunk_paths, images, geom, capacity, payloads, bits)
+                (chunk_paths, images, geom, capacity, payloads, bits,
+                 specs_list)
             )
     finally:
         stop.set()

@@ -46,6 +46,8 @@ def main():
     ap.add_argument("--dir", default="")
     ap.add_argument("--keep", action="store_true")
     ap.add_argument("--ratio", default="4:2:0")
+    ap.add_argument("--optimize", action="store_true",
+                    help="per-image optimized Huffman (pipelined two-pass)")
     ap.add_argument("--chunk-budget", type=int, default=0)
     ap.add_argument("--verify", type=int, default=3,
                     help="sample size for byte-identity vs single-image")
@@ -95,7 +97,8 @@ def main():
     print(f"generated in {gen_s:.1f}s", file=sys.stderr)
 
     config = EncoderConfig(
-        subsampling_ratio=parse_subsampling_ratio(args.ratio)
+        subsampling_ratio=parse_subsampling_ratio(args.ratio),
+        optimize_huffman=args.optimize,
     )
 
     dev = jax.devices()[0]
@@ -134,14 +137,28 @@ def main():
     except Exception:
         hbm_peak = -1
 
-    # Byte-identity spot check vs the single-image path.
+    # Spot check: byte-identity vs the single-image path (fixed tables),
+    # or — in optimize mode, whose single-image programs would be fresh
+    # multi-minute compiles here while the batched-vs-single identity is
+    # already pinned by the CPU suite — an independent PIL decode.
     for i in range(0, args.images, max(1, args.images // args.verify))[
         : args.verify
     ]:
         with open(os.path.join(out, f"img{i:04d}.jpeg"), "rb") as f:
             got = f.read()
-        want = pipeline.encode_array(bmp.read(paths[i]), config).file_bytes
-        assert got == want, f"mismatch at image {i}"
+        if args.optimize:
+            import io as iolib
+
+            from PIL import Image
+
+            img = Image.open(iolib.BytesIO(got))
+            img.load()
+            assert img.size == (w, h), f"bad decode at image {i}"
+        else:
+            want = pipeline.encode_array(
+                bmp.read(paths[i]), config
+            ).file_bytes
+            assert got == want, f"mismatch at image {i}"
 
     pixels = result.pixels
     line = {
@@ -149,6 +166,7 @@ def main():
         "value": round(pixels / result.seconds / 1e6, 1),
         "unit": "Mpixel/s",
         "images": result.encoded,
+        "optimize": args.optimize,
         "geometry": f"{w}x{h}",
         "chunk_images": chunk,
         "wall_seconds": round(wall, 2),
