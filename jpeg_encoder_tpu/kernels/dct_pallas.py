@@ -285,6 +285,71 @@ def _realdct_t_planes_chain(
     return jnp.trunc((s_col * acc) / q).astype(jnp.int16)
 
 
+def _realdct_t_planes_fast_chain(x_ref, m_ref, sq_ref, *, tile, ny):
+    """MXU matmul RealDCT on the transposed 3-plane concat (--fast-dct).
+
+    Same packed (16, T) input and (64, T) output as the ordered chain, but
+    the transform is a (64, 64) x (64, T) matmul against the zigzag-row
+    Kronecker basis (scale folded) instead of the 192-flop/output VPU
+    chain. Precision: level-shifted pixels are integers in [-128, 127] —
+    EXACT in bf16 — so only the basis matrix needs widening; a manual
+    3-term bf16 split of M (m1 + m2 + m3 with f32 accumulation, ~2^-24
+    relative residual) gets f32-grade accuracy from 3 MXU passes where
+    Precision.HIGHEST pays 6 (Mosaic rejects HIGH, which would express
+    this directly; the split matrices are built from the constant operand
+    in-kernel, which Mosaic folds). Summation order still differs from
+    the reference's scalar loop, so quantized coefficients may deviate
+    where the quant truncation sits on a rounding boundary (~1e-5 of
+    coefficients, by +-1) — the documented --fast-dct contract (cli.py),
+    now at kernel speed instead of the XLA fallback that used to make
+    the flag pointless on TPU (slower than the exact chain at 4:4:4:
+    1204 vs 1306 Mpix/s, bench_cell r5)."""
+    pid = pl.program_id(0)
+    rows = _unpack_pixel_rows(x_ref[:])
+    xt = (jnp.concatenate(rows, axis=0) - 128).astype(jnp.bfloat16)
+    m = m_ref[:]
+    m1 = m.astype(jnp.bfloat16)
+    r1 = m - m1.astype(jnp.float32)
+    m2 = r1.astype(jnp.bfloat16)
+    m3 = (r1 - m2.astype(jnp.float32)).astype(jnp.bfloat16)
+    dn = (((1,), (0,)), ((), ()))
+    coeffs = jnp.zeros((64, tile), jnp.float32)
+    for mk in (m3, m2, m1):  # small-to-large: favorable f32 addition order
+        coeffs = coeffs + jax.lax.dot_general(
+            mk, xt, dn, preferred_element_type=jnp.float32
+        )
+    is_luma = (
+        pid * tile + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+    ) < ny
+    q = jnp.where(is_luma, sq_ref[:, 1:2], sq_ref[:, 2:3])
+    return jnp.trunc(coeffs / q).astype(jnp.int16)
+
+
+def _realdct_t_planes_fast_cols_kernel(x_ref, m_ref, sq_ref, out_ref, *,
+                                       tile, ny):
+    out_ref[:] = _realdct_t_planes_fast_chain(
+        x_ref, m_ref, sq_ref, tile=tile, ny=ny
+    )
+
+
+def _realdct_t_planes_fast_rows_kernel(x_ref, m_ref, sq_ref, out_ref, *,
+                                       tile, ny):
+    out_ref[:] = _realdct_t_planes_fast_chain(
+        x_ref, m_ref, sq_ref, tile=tile, ny=ny
+    ).T
+
+
+@functools.cache
+def _fast_kron_zigzag() -> np.ndarray:
+    """(64, 64) f32: M[zz(uv), xy] — Kronecker DCT basis with the scale
+    folded and rows permuted to zigzag order, so `M @ X` yields
+    zigzag-ordered coefficient rows directly (matching the chain kernels'
+    output layout)."""
+    from jpeg_encoder_tpu.ops.dct import dct_kron_matrix
+
+    return np.ascontiguousarray(dct_kron_matrix()[:, tables.ZIGZAG_ORDER].T)
+
+
 def _out_rows_default(y_plane, cb_plane) -> bool:
     """Pick the kernel's output form by geometry: in-kernel transposed
     (N, 64) rows when chroma is subsampled (the marshal's regroup path
@@ -301,6 +366,7 @@ def real_dct_quant_planes_zigzag_pallas_t(
     interpret: bool = False,
     quality: int | None = None,
     out_rows: bool | None = None,
+    fast: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """All three planes through ONE transposed-chain kernel.
 
@@ -314,15 +380,17 @@ def real_dct_quant_planes_zigzag_pallas_t(
     bistable and program-structure-dependent (see
     kernels/entropy_pallas.encode_entropy_fused docstring) — this
     kernel's cost is stable: ~80% of the VPU-bound ideal for the
-    192-flop/output ordered chain."""
+    192-flop/output ordered chain.
+
+    fast=True swaps the chain body for the MXU Kronecker matmul
+    (_realdct_t_planes_fast_chain): same input/output layouts, not
+    bit-exact (the --fast-dct contract)."""
     xp, ny, nc, n = _plane_pack_t(y_plane, cb_plane, cr_plane, T_TILE)
     padded_n = xp.shape[1]
     a, b, scale, qy = (
         np.asarray(c) for c in _realdct_constants("y", quality)
     )
     qc = np.asarray(_realdct_constants("c", quality)[3])
-    at = jnp.asarray(a.T.copy())  # (uv, step) columns
-    bt = jnp.asarray(b.T.copy())
     # scale / qy / qc as (64, 8) column blocks (lane-sliceable; 8-lane
     # minor keeps the block spec tiling-friendly).
     sq = np.zeros((64, 8), _F32)
@@ -331,17 +399,29 @@ def real_dct_quant_planes_zigzag_pallas_t(
     sq[:, 2] = qc.reshape(64)
     if out_rows is None:
         out_rows = _out_rows_default(y_plane, cb_plane)
+    mat_spec = pl.BlockSpec((64, 64), lambda i: (0, 0), memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec((16, T_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((64, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((64, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        mat_spec,
         pl.BlockSpec((64, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
+    if fast:
+        operands = (xp, jnp.asarray(_fast_kron_zigzag()), jnp.asarray(sq))
+        rows_kernel, cols_kernel = (
+            _realdct_t_planes_fast_rows_kernel,
+            _realdct_t_planes_fast_cols_kernel,
+        )
+    else:
+        at = jnp.asarray(a.T.copy())  # (uv, step) columns
+        bt = jnp.asarray(b.T.copy())
+        operands = (xp, at, bt, jnp.asarray(sq))
+        in_specs.insert(2, mat_spec)
+        rows_kernel, cols_kernel = (
+            _realdct_t_planes_rows_kernel, _realdct_t_planes_cols_kernel
+        )
     if out_rows:
         out = pl.pallas_call(
-            functools.partial(
-                _realdct_t_planes_rows_kernel, tile=T_TILE, ny=ny
-            ),
+            functools.partial(rows_kernel, tile=T_TILE, ny=ny),
             grid=(padded_n // T_TILE,),
             in_specs=in_specs,
             out_specs=pl.BlockSpec(
@@ -349,12 +429,10 @@ def real_dct_quant_planes_zigzag_pallas_t(
             ),
             out_shape=jax.ShapeDtypeStruct((padded_n, 64), jnp.int16),
             interpret=interpret,
-        )(xp, at, bt, jnp.asarray(sq))
+        )(*operands)
     else:
         out = pl.pallas_call(
-            functools.partial(
-                _realdct_t_planes_cols_kernel, tile=T_TILE, ny=ny
-            ),
+            functools.partial(cols_kernel, tile=T_TILE, ny=ny),
             grid=(padded_n // T_TILE,),
             in_specs=in_specs,
             out_specs=pl.BlockSpec(
@@ -362,7 +440,7 @@ def real_dct_quant_planes_zigzag_pallas_t(
             ),
             out_shape=jax.ShapeDtypeStruct((64, padded_n), jnp.int16),
             interpret=interpret,
-        )(xp, at, bt, jnp.asarray(sq)).T
+        )(*operands).T
     return out[:ny], out[ny : ny + nc], out[ny + nc : n]
 
 

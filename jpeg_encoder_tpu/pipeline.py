@@ -185,12 +185,19 @@ def dct_planes_zigzag(
     """
     if transposed_dct is None:
         transposed_dct = jax.default_backend() == "tpu"
-    if transposed_dct and algorithm == DctAlgorithm.REAL_DCT and not fast_dct:
+    if transposed_dct and algorithm == DctAlgorithm.REAL_DCT:
         from jpeg_encoder_tpu.kernels import dct_pallas
 
+        # fast_dct rides the same transposed kernel scaffolding with the
+        # MXU matmul body (not bit-exact — the documented --fast-dct
+        # contract). Routing it through the XLA fallback instead used to
+        # make the flag a de-facto SLOWDOWN on TPU (blockify + marshal
+        # costs exceeded the matmul's saving: 1204 vs 1306 Mpix/s at
+        # 4:4:4, bench_cell r5).
         y_z, cb_z, cr_z = dct_pallas.real_dct_quant_planes_zigzag_pallas_t(
             y_plane, cb_plane, cr_plane,
             interpret=jax.default_backend() != "tpu", quality=quality,
+            fast=fast_dct,
         )
         return y_z, cb_z, cr_z, True
     if transposed_dct and algorithm == DctAlgorithm.BIN_DCT:

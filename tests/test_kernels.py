@@ -116,6 +116,54 @@ def test_transposed_planes_dct_matches_ops_fusion(rng):
         assert np.array_equal(np.asarray(w), np.asarray(g))
 
 
+def test_transposed_planes_fast_dct_matches_ops_fast(rng):
+    """The MXU matmul body behind --fast-dct (fast=True) must match the
+    XLA Kronecker-matmul fast path (ops/dct.real_dct_quant): same matrix,
+    same HIGHEST-precision contraction, same trunc-divide — the layouts
+    are the only difference. Exact on the CPU backend; the hardware MXU
+    may round ties differently from the exact path (the documented
+    --fast-dct contract), which is why the assertion also admits a +-1
+    quantized-coefficient tolerance rather than requiring bit identity."""
+    import jax.numpy as jnp
+
+    for shapes in (((240, 160), (120, 80)), ((80, 80), (80, 80))):
+        yp = jnp.asarray(rng.integers(0, 256, shapes[0], dtype=np.uint8))
+        cbp = jnp.asarray(rng.integers(0, 256, shapes[1], dtype=np.uint8))
+        crp = jnp.asarray(rng.integers(0, 256, shapes[1], dtype=np.uint8))
+        want = dct.dct_quantize_planes(
+            sample.blockify(yp), sample.blockify(cbp), sample.blockify(crp),
+            DctAlgorithm.REAL_DCT, fast_dct=True, zigzag_out=True,
+        )[:3]
+        got = dct_pallas.real_dct_quant_planes_zigzag_pallas_t(
+            yp, cbp, crp, interpret=True, fast=True
+        )
+        for w, g in zip(want, got):
+            assert g.dtype == jnp.int16
+            d = np.abs(
+                np.asarray(w, np.int32) - np.asarray(g, np.int32)
+            )
+            assert d.max() <= 1 and (d > 0).mean() < 1e-3
+
+
+def test_transposed_planes_fast_dct_output_forms_agree(rng):
+    """Both output forms of the fast kernel run the identical matmul, so
+    they must be bit-identical to each other at either geometry."""
+    import jax.numpy as jnp
+
+    for shapes in (((240, 160), (120, 80)), ((80, 80), (80, 80))):
+        yp = jnp.asarray(rng.integers(0, 256, shapes[0], dtype=np.uint8))
+        cbp = jnp.asarray(rng.integers(0, 256, shapes[1], dtype=np.uint8))
+        crp = jnp.asarray(rng.integers(0, 256, shapes[1], dtype=np.uint8))
+        rows = dct_pallas.real_dct_quant_planes_zigzag_pallas_t(
+            yp, cbp, crp, interpret=True, fast=True, out_rows=True
+        )
+        cols = dct_pallas.real_dct_quant_planes_zigzag_pallas_t(
+            yp, cbp, crp, interpret=True, fast=True, out_rows=False
+        )
+        for r, c in zip(rows, cols):
+            assert np.array_equal(np.asarray(r), np.asarray(c))
+
+
 def test_transposed_planes_output_forms_agree(rng):
     """The kernels pick their output form by geometry (in-kernel
     transposed rows when chroma is subsampled, cols + XLA .T at 4:4:4);

@@ -75,6 +75,21 @@ def _decode_psnr(rgb, file_bytes):
     return 10 * np.log10(255.0**2 / max(mse, 1e-12))
 
 
+def test_fast_dct_pipeline_decodes_and_matches_exact_quality():
+    """--fast-dct through the transposed Pallas kernel (the TPU routing;
+    interpret mode here) must produce a valid decodable file whose quality
+    matches the exact ordered-chain encode — the mode trades bit-exactness
+    vs the reference for MXU speed, not visible quality."""
+    rgb = _gradient_image(64, 48)
+    exact = pipeline.encode_array(rgb, EncoderConfig())
+    for transposed in (True, False):  # Pallas kernel / XLA matmul fallback
+        fast = pipeline.encode_array(
+            rgb, EncoderConfig(fast_dct=True, transposed_dct=transposed)
+        )
+        assert abs(_decode_psnr(rgb, fast.file_bytes)
+                   - _decode_psnr(rgb, exact.file_bytes)) < 0.5
+
+
 @pytest.mark.slow
 def test_bin_dct_descale_fixes_quality():
     """The corrected binDCT (scale-folded gains) must erase the reference's

@@ -39,6 +39,7 @@ restart = next(
     None,
 )
 optimize = "optimize" in sys.argv[2:]
+fast = "fast" in sys.argv[2:]  # --fast-dct MXU matmul RealDCT (not bit-exact)
 
 key = jax.random.key(0)
 base = jax.random.uniform(key, (B, H // 8, W // 8, 3))
@@ -62,9 +63,13 @@ else:
 def go(imgs):
     def one(rgb):
         if restart is not None:
-            out = pipeline.encode_core_restart(rgb, geom, algo, cap, restart)
+            out = pipeline.encode_core_restart(
+                rgb, geom, algo, cap, restart, fast_dct=fast
+            )
             return out["payloads"], out["bits"].max()
-        out = pipeline.encode_core(rgb, geom, algo, cap, with_coeffs=False)
+        out = pipeline.encode_core(
+            rgb, geom, algo, cap, fast_dct=fast, with_coeffs=False
+        )
         return out["payload"], out["total_bits"]
     return jax.vmap(one)(imgs)
 
